@@ -1,0 +1,150 @@
+"""Inference/visualization CLI (the HPE/test.py analog).
+
+Capability parity with run_inference (reference: HPE/test.py:284-396):
+load weights -> resize -> forward -> pose NMS -> rescale coords -> render.
+Headless: draws detections onto images and writes PNG files instead of a
+cv2.imshow UI loop (SURVEY.md §7 step 5).
+
+Usage:
+    python -m tpupose.cli.test --cfg cfg.yaml --ckpt out/ckpt \
+        images_dir=folder/ output_dir=viz/
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from tpupose.configs import default_config, parse_args, update_config
+from tpupose.utils.logging import printS, printT, printW
+
+# skeleton for the reference's 4-kpt object poses: 0-1-2-3-0 + midline
+# (HPE/test.py:189-277 draw_detections)
+DEFAULT_SKELETON_4 = ((0, 1), (1, 2), (2, 3), (3, 0))
+
+
+def draw_detections(image, keypoints, scores, valid, skeleton=None, radius=3):
+    """Pure-NumPy renderer: dots + skeleton lines onto an RGB uint8 image."""
+    img = image.copy()
+    H, W = img.shape[:2]
+    K = keypoints.shape[1]
+    if skeleton is None:
+        skeleton = DEFAULT_SKELETON_4 if K == 4 else ()
+
+    def dot(x, y, color):
+        x, y = int(round(x)), int(round(y))
+        if 0 <= x < W and 0 <= y < H:
+            y0, y1 = max(0, y - radius), min(H, y + radius + 1)
+            x0, x1 = max(0, x - radius), min(W, x + radius + 1)
+            img[y0:y1, x0:x1] = color
+
+    def line(p, q, color):
+        n = int(max(abs(q[0] - p[0]), abs(q[1] - p[1]), 1))
+        for t in np.linspace(0, 1, n * 2):
+            dot(p[0] + (q[0] - p[0]) * t, p[1] + (q[1] - p[1]) * t, color)
+
+    for i in range(keypoints.shape[0]):
+        if not valid[i]:
+            continue
+        kps = keypoints[i]
+        for a, b in skeleton:
+            if kps[a, 2] > 0.5 and kps[b, 2] > 0.5:
+                line(kps[a, :2], kps[b, :2], (0, 255, 0))
+        for k in range(K):
+            if kps[k, 2] > 0.5:
+                dot(kps[k, 0], kps[k, 1], (255, 0, 0))
+    return img
+
+
+def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tpupose.engine.builder import Builder
+    from tpupose.engine.checkpoint import CheckpointManager
+    from tpupose.engine.train_state import create_train_state
+    from tpupose.ops.nms import batched_pose_nms
+    from tpupose.ops.preprocess import normalize_images
+
+    os.makedirs(output_dir, exist_ok=True)
+    builder = Builder(cfg)
+    model = builder.model()
+    H, W = cfg.data.image_size
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, H, W, 3), jnp.float32)
+    import optax
+
+    state = create_train_state(model, rng, sample, optax.sgd(0.0))
+    if weights:
+        mgr = CheckpointManager(weights)
+        state, _ = mgr.restore(state)
+        mgr.close()
+    else:
+        printW("no --ckpt given: running with random weights")
+
+    K = cfg.model.num_keypoints
+    nc = cfg.model.num_classes
+
+    @jax.jit
+    def infer(images):
+        x = normalize_images(images, scale_only=True)
+        dec = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False)  # (B, A, nc + 3K)
+        return dec
+
+    paths = sorted(
+        p for ext in ("*.jpg", "*.jpeg", "*.png")
+        for p in glob.glob(os.path.join(images_dir, ext)))
+    for p in paths:
+        pil = Image.open(p).convert("RGB")
+        w0, h0 = pil.size
+        img = np.asarray(pil.resize((W, H)), np.uint8)
+        dec = np.asarray(infer(jnp.asarray(img[None])))[0]  # (A, nc+3K)
+        cls_scores = dec[:, :nc]
+        scores = cls_scores.max(-1)
+        classes = cls_scores.argmax(-1).astype(np.int32)
+        kpts = dec[:, nc:].reshape(-1, K, 3)
+        # kpt-extent boxes for NMS (HPE/test.py:156-165)
+        xs, ys = kpts[..., 0], kpts[..., 1]
+        boxes = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=-1)
+        ob, os_, oc, ok, ov = batched_pose_nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+            jnp.asarray(kpts), iou_threshold=cfg.eval.iou_threshold,
+            conf_threshold=cfg.eval.conf_threshold,
+            max_det=cfg.eval.max_detections)
+        ok = np.array(ok)  # writable host copy
+        ov = np.asarray(ov)
+        # rescale to original resolution (HPE/test.py:356-361)
+        ok[..., 0] *= w0 / W
+        ok[..., 1] *= h0 / H
+        out = draw_detections(np.asarray(pil, np.uint8), ok, np.asarray(os_), ov)
+        out_path = os.path.join(output_dir, os.path.basename(p))
+        Image.fromarray(out).save(out_path)
+        printT(f"{p}: {int(ov.sum())} detections -> {out_path}")
+    printS(f"processed {len(paths)} images")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    extra = {}
+    rest = []
+    for item in args.opts:
+        k, v = item.split("=", 1)
+        if k in ("images_dir", "output_dir"):
+            extra[k] = v
+        else:
+            rest.append(item)
+    args.opts = rest
+    cfg = update_config(default_config(), args)
+    run_inference(cfg, extra.get("images_dir", "images"),
+                  extra.get("output_dir", "viz"), args.ckpt)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,219 @@
+"""Typed default configuration tree.
+
+Capability parity with the reference's yacs CfgNode defaults
+(reference: HPE/configs/default.py:1-126, pose/configs/default.py:1-47):
+a hierarchical default config, YAML experiment merge, CLI overrides, and
+freeze-after-merge semantics. Here the tree is plain nested dataclasses —
+typed, introspectable, and JSON/YAML serializable without a yacs dep.
+
+The `--gpus` flag of the reference becomes mesh/topology flags
+(`mesh.data`, `mesh.model`) per SURVEY.md §5.6.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class ModelConfig:
+    # registry name: simple_baseline | hrnet | dinov3_pose | deeppose | fskd | fcmae
+    name: str = "simple_baseline"
+    backbone: str = "resnet50"          # resnet{18,34,50,101,152} | convnext_{...} | vit_{...} | hrnet_w{32,48}
+    pretrained: str = ""                # path to converted .npz / orbax weights
+    checkpoint: str = ""                # resume/eval checkpoint
+    num_keypoints: int = 17             # COCO-17 default; reference yolo config uses 4
+    num_classes: int = 1                # reference dinov3_pose.yaml uses ncls 7
+    # top-down heatmap options
+    heatmap_size: tuple = (64, 48)      # (H, W)
+    deconv_channels: tuple = (256, 256, 256)
+    # single-stage (yolo-pose) options
+    neck_channels: tuple = (192, 384, 768)
+    strides: tuple = (8, 16, 32)
+    freeze_backbone: bool = True        # reference freezes DINOv3 (HPE/models/pose.py:47-49)
+    kpt_dim: int = 3                    # (x, y, visibility)
+
+
+@dataclass
+class DataConfig:
+    name: str = "synthetic"             # synthetic | coco | yolo_pose | fewshot
+    root: str = ""
+    train_dir: str = ""
+    valid_dir: str = ""
+    image_size: tuple = (256, 192)      # (H, W); yolo-pose uses (640, 640)
+    max_instances: int = 32             # static padding of ragged per-image targets
+    num_workers: int = 4
+    # top-down augmentation (reference scope per BASELINE.json north star)
+    scale_factor: float = 0.25
+    rotation_factor: float = 30.0
+    flip_prob: float = 0.5
+    color_jitter: float = 0.2
+    sigma: float = 2.0                  # Gaussian target sigma
+    # few-shot episodic options (reference: HPE/configs/default.py:21-53)
+    n_way: int = 5
+    k_shot: int = 1
+    n_query: int = 4
+    episodes_per_epoch: int = 100
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 64                # global batch (split across the data mesh axis)
+    epochs: int = 100
+    warmup_epochs: int = 3              # reference: HPE/train.py:94-103
+    grad_clip_norm: float = 10.0        # reference: HPE/train.py:133, pose trainer :67
+    grad_accum_steps: int = 1           # reference mini_batch_count (HPE/engine/trainer.py:96-100)
+    mixed_precision: bool = True        # bf16 compute on TPU (no GradScaler needed)
+    seed: int = 42
+    deterministic: bool = False
+    log_interval: int = 50
+    ckpt_interval: int = 1              # epochs between periodic checkpoints
+    output_dir: str = "output"
+    experiment: str = "default"
+
+
+@dataclass
+class EvalConfig:
+    batch_size: int = 64
+    flip_test: bool = True
+    decode: str = "dark"                # dark | quarter_offset | argmax
+    blur_kernel: int = 11               # DARK modulation kernel
+    oks_thresholds: tuple = tuple(round(0.5 + 0.05 * i, 2) for i in range(10))
+    # single-stage postprocess
+    conf_threshold: float = 0.25
+    iou_threshold: float = 0.45
+    max_detections: int = 100
+    interval: int = 1
+
+
+@dataclass
+class LossConfig:
+    name: str = "joints_mse"            # joints_mse | pose_compute (center-cell) | v8_pose (TAL)
+    kpt_loss_type: str = "oks"          # oks | wing | adaptive_wing | multiscale | hybrid
+    cls_weight: float = 1.0             # reference weights (HPE/loss.py:437-446)
+    kpt_weight: float = 10.0
+    vis_weight: float = 5.0
+    use_target_weight: bool = True
+
+
+@dataclass
+class OptimizerConfig:
+    name: str = "adamw"                 # registry covers the reference's 13 torch optimizers
+    lr: float = 1e-3
+    head_lr: float = 1e-2               # two param groups (reference: HPE/train.py:39-55)
+    weight_decay: float = 1e-4
+    betas: tuple = (0.9, 0.999)
+    momentum: float = 0.9
+    eps: float = 1e-8
+
+
+@dataclass
+class SchedulerConfig:
+    name: str = "cosine"                # cosine | step | multistep | exponential | plateau-free set
+    min_lr: float = 1e-6
+    step_size: int = 30
+    gamma: float = 0.1
+    milestones: tuple = (60, 90)
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh topology (the `--gpus` analog)."""
+    data: int = -1                      # -1: all devices on the data axis
+    model: int = 1                      # tensor-parallel axis size
+    dtype: str = "bfloat16"             # compute dtype
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    lr_scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    _frozen: bool = field(default=False, repr=False, compare=False)
+
+    def freeze(self):
+        object.__setattr__(self, "_frozen", True)
+        return self
+
+    def __setattr__(self, k, v):
+        if getattr(self, "_frozen", False) and k != "_frozen":
+            raise AttributeError(f"Config is frozen; cannot set {k!r}")
+        object.__setattr__(self, k, v)
+
+    def to_dict(self) -> dict:
+        def conv(obj):
+            if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+                return {
+                    f.name: conv(getattr(obj, f.name))
+                    for f in dataclasses.fields(obj)
+                    if not f.name.startswith("_")
+                }
+            if isinstance(obj, (list, tuple)):
+                return [conv(x) for x in obj]
+            return obj
+
+        return conv(self)
+
+    def merge_dict(self, overrides: dict) -> "Config":
+        """Recursively merge a (possibly partial) dict of overrides."""
+        if getattr(self, "_frozen", False):
+            raise AttributeError("Config is frozen")
+        _merge_into(self, overrides)
+        return self
+
+    def merge_dotted(self, items: dict) -> "Config":
+        """Merge flat {'train.batch_size': 32} style CLI overrides."""
+        for key, val in items.items():
+            node = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = getattr(node, p)
+            cur = getattr(node, parts[-1])
+            setattr(node, parts[-1], _coerce(val, cur))
+        return self
+
+    def clone(self) -> "Config":
+        c = copy.deepcopy(self)
+        object.__setattr__(c, "_frozen", False)
+        return c
+
+
+def _merge_into(node, overrides: dict):
+    for k, v in overrides.items():
+        if not hasattr(node, k):
+            raise KeyError(f"Unknown config key: {k!r}")
+        cur = getattr(node, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _merge_into(cur, v)
+        else:
+            setattr(node, k, _coerce(v, cur))
+
+
+def _coerce(val: Any, current: Any):
+    """Coerce YAML/CLI values toward the default's type (tuples, bools, numbers)."""
+    if isinstance(current, bool) and isinstance(val, str):
+        return val.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, tuple) and isinstance(val, str):
+        import ast
+
+        return tuple(ast.literal_eval(val))
+    if isinstance(current, tuple) and isinstance(val, (list, tuple)):
+        return tuple(val)
+    if isinstance(current, int) and not isinstance(current, bool) and isinstance(val, str):
+        return int(val)
+    if isinstance(current, float) and isinstance(val, (str, int)):
+        return float(val)
+    return val
+
+
+def default_config() -> Config:
+    return Config()

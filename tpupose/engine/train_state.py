@@ -1,0 +1,96 @@
+"""Train state + jitted DP train/eval steps.
+
+The reference's Trainer hot loop (pose/pose/engine/trainer.py:47-81:
+to(device)/255 -> autocast forward -> loss -> scale/backward -> unscale ->
+clip -> step) becomes ONE compiled XLA program: normalize, forward, loss,
+grads, clip, optimizer update, BN-stat update — fused and overlap-scheduled
+by XLA. DP happens because the batch is sharded on the mesh 'data' axis
+while params are replicated: XLA inserts the gradient all-reduce (the DDP
+hook) automatically. bf16 compute replaces AMP; no GradScaler is needed
+because bf16 has fp32-range exponents.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=params,
+            opt_state=new_opt,
+            batch_stats=new_batch_stats if new_batch_stats is not None else self.batch_stats,
+        )
+
+
+def create_train_state(model, rng, sample_input, tx, train: bool = False) -> TrainState:
+    """Initialize params/batch_stats and the optimizer state."""
+    variables = model.init(rng, sample_input, train=train)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def make_heatmap_train_step(loss_fn):
+    """Build the jitted train step for heatmap models.
+
+    batch: {"images": uint8/float NHWC, "target": (B,Hh,Wh,K),
+            "target_weight": (B,K)}. Donates the state buffer.
+    """
+    from tpupose.ops.preprocess import normalize_images
+
+    def train_step(state: TrainState, batch):
+        imgs = normalize_images(batch["images"])
+
+        def compute_loss(params):
+            outs, mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, train=True, mutable=["batch_stats"],
+            )
+            loss = loss_fn(outs, batch["target"], batch.get("target_weight"))
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_heatmap_eval_step():
+    """Forward-only step returning heatmaps (NHWK)."""
+
+    from tpupose.ops.preprocess import normalize_images
+
+    def eval_step(state: TrainState, images):
+        imgs = normalize_images(images)
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs, train=False,
+        )
+
+    return jax.jit(eval_step)

@@ -1,0 +1,32 @@
+"""JointsMSELoss for heatmap training (graded config; the MSRA loss
+the BASELINE.json north star names). 0.5 * MSE per joint, masked by
+target_weight, averaged over batch and joints."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def joints_mse_loss(pred, target, target_weight=None, use_target_weight=True):
+    """pred/target: (B, Hh, Wh, K) or (B, K, Hh, Wh); target_weight: (B, K).
+
+    Returns a scalar fp32 loss. Layout-agnostic: the K axis is inferred
+    from target_weight when given, else assumed last (NHWC convention).
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    if pred.ndim != 4:
+        raise ValueError("expected 4D heatmaps")
+    if target_weight is not None and use_target_weight:
+        K = target_weight.shape[-1]
+        if pred.shape[-1] == K:          # NHWK
+            w = target_weight[:, None, None, :]
+        elif pred.shape[1] == K:         # NKHW
+            w = target_weight[:, :, None, None]
+        else:
+            raise ValueError("target_weight does not match any heatmap axis")
+        se = (pred - target) ** 2 * w
+        denom = jnp.maximum(jnp.sum(target_weight), 1.0)
+        per_px = pred.size / (pred.shape[0] * K)
+        return 0.5 * jnp.sum(se) / (denom * per_px)
+    return 0.5 * jnp.mean((pred - target) ** 2)

@@ -1,0 +1,153 @@
+"""Device mesh + distributed bootstrap — the TPU-native DDP equivalent.
+
+Capability parity with the reference's DDPManager
+(reference: HPE/utils/dist.py:46-243, pose/pose/utils/dist.py:46-235):
+
+torch.distributed concept            -> TPU-native equivalent here
+----------------------------------------------------------------------
+torchrun env rendezvous + NCCL       -> jax.distributed.initialize()
+DDP(model) gradient all-reduce        -> jit sharding annotations: batch
+                                         sharded on the 'data' axis, params
+                                         replicated; XLA inserts the psum
+DistributedSampler                    -> shard_batch() / per-process slices
+dist.barrier()                        -> implicit in collectives; explicit
+                                         sync via block_until_ready
+MASTER_RANK logging                   -> jax.process_index() == 0
+SIGINT/atexit destroy_process_group   -> jax.distributed.shutdown atexit
+find_unused_parameters (frozen bb)    -> nonexistent problem: frozen params
+                                         simply aren't in the grad tree
+
+The mesh is 2-D ('data', 'model'): 'data' is the DP axis (ICI within a
+slice, DCN across hosts), 'model' is an optional tensor-parallel axis for
+sharding wide head/projection channels. The reference implements DP only
+(SURVEY.md §2.10); 'model' is our extension and defaults to size 1.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpupose.utils.logging import printT, printW
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+_initialized = False
+
+
+def setup_distributed():
+    """Multi-host bootstrap (the init_process_group analog).
+
+    Only activates when coordinator env vars are present, mirroring the
+    reference's graceful single-process fallback (HPE/utils/dist.py:83-94).
+    """
+    global _initialized
+    if _initialized:
+        return
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        atexit.register(_shutdown)
+        printT(f"distributed init: process {jax.process_index()}/{jax.process_count()}")
+    _initialized = True
+
+
+def _shutdown():
+    try:
+        jax.distributed.shutdown()
+    except Exception:
+        pass
+
+
+def is_master() -> bool:
+    return jax.process_index() == 0
+
+
+def create_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over all (or the given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if model < 1:
+        model = 1
+    if data == -1:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        # use a subset if the user asked for fewer devices than exist
+        if data * model > n:
+            raise ValueError(f"mesh {data}x{model} needs {data*model} devices, have {n}")
+        devices = devices[: data * model]
+        printW(f"using {data*model}/{n} devices for mesh ({data},{model})")
+    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard dim 0 (batch) across the data axis; replicate the rest."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host-side pytree of arrays onto the mesh, batch-sharded.
+
+    Single-process: device_put with a batch NamedSharding. Multi-process:
+    each process contributes its local slice via
+    make_array_from_process_local_data (the DistributedSampler analog,
+    SURVEY.md §5.8).
+    """
+    def place(x):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        return jax.make_array_from_process_local_data(sh, x)
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+class MeshManager:
+    """Device policy object (the DDPManager analog).
+
+    Decides CPU/single-chip/multi-chip from the environment, owns the Mesh,
+    and exposes sharding helpers. Construction order mirrors the reference:
+    env detection -> init -> mesh -> ready (HPE/utils/dist.py:72-123).
+    """
+
+    def __init__(self, data: int = -1, model: int = 1):
+        setup_distributed()
+        self.mesh = create_mesh(data=data, model=model)
+        self.num_devices = self.mesh.devices.size
+        self.data_size = self.mesh.shape[DATA_AXIS]
+        self.model_size = self.mesh.shape[MODEL_AXIS]
+        printT(
+            f"mesh: data={self.data_size} model={self.model_size} "
+            f"({jax.device_count()} devices, {jax.process_count()} processes)"
+        )
+
+    @property
+    def is_master(self) -> bool:
+        return is_master()
+
+    def shard_batch(self, batch):
+        return shard_batch(self.mesh, batch)
+
+    def replicate(self, tree):
+        sh = replicated_sharding(self.mesh)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    def local_batch_size(self, global_batch: int) -> int:
+        if global_batch % self.data_size != 0:
+            raise ValueError(
+                f"global batch {global_batch} not divisible by data axis {self.data_size}"
+            )
+        return global_batch // max(jax.process_count(), 1)
