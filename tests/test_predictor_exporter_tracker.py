@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import optax
+
+
+def _tiny_state():
+    from tpupose.engine.train_state import create_train_state
+    from tpupose.models.simple_baseline import SimpleBaseline
+
+    m = SimpleBaseline(backbone="resnet18", num_keypoints=4,
+                       deconv_channels=(32, 32, 32), dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    return create_train_state(m, jax.random.PRNGKey(0), x, optax.sgd(0.0))
+
+
+def test_heatmap_predictor_returns_coords():
+    from tpupose.engine.predictor import HeatmapPredictor
+
+    state = _tiny_state()
+    pred = HeatmapPredictor(state, heatmap_size=(16, 16), flip_test=False)
+    imgs = np.random.randint(0, 255, (2, 64, 64, 3), np.uint8)
+    coords, scores = pred(imgs)
+    assert coords.shape == (2, 4, 2)
+    assert scores.shape == (2, 4)
+    # default identity mapping: coords scaled from 16x16 heatmap to 64x64 crop
+    assert (coords >= -4).all() and (coords <= 68).all()
+
+
+def test_exporter_npz_roundtrip(tmp_path):
+    from tpupose.engine.exporter import export_npz, load_npz
+
+    state = _tiny_state()
+    p = export_npz(state, str(tmp_path / "w.npz"))
+    tree = load_npz(p)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    leaf2 = jax.tree_util.tree_leaves(tree["params"])[0]
+    np.testing.assert_allclose(np.asarray(leaf), leaf2)
+    # same tree structure (key sets) for params
+    def keys(t, pre=""):
+        if isinstance(t, dict):
+            out = set()
+            for k, v in t.items():
+                out |= keys(v, pre + k + "/")
+            return out
+        return {pre.rstrip("/")}
+
+    assert keys(tree["params"]) == keys(jax.tree_util.tree_map(np.asarray,
+                                                               state.params))
+
+
+def test_exporter_stablehlo_roundtrip(tmp_path):
+    from tpupose.engine.exporter import export_stablehlo, load_stablehlo
+
+    def f(x):
+        return jnp.sin(x) * 2.0
+
+    x = jnp.arange(8, dtype=jnp.float32)
+    p = export_stablehlo(f, (x,), str(tmp_path / "f.hlo"))
+    g = load_stablehlo(p)
+    np.testing.assert_allclose(np.asarray(g(x)), np.asarray(f(x)), atol=1e-6)
+
+
+def test_tracker_maintains_identity():
+    from tpupose.engine.tracker import PoseTracker
+
+    tr = PoseTracker(match_threshold=0.2)
+    K = 4
+    rng = np.random.RandomState(0)
+    feat_a = rng.randn(16).astype(np.float32)
+    feat_b = -feat_a  # orthogonal-ish appearance
+    kp = rng.rand(K, 3).astype(np.float32)
+
+    # frame 1: two people
+    out1 = tr.update(np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32),
+                     np.stack([feat_a, feat_b]), np.stack([kp, kp]))
+    ids1 = {o[0] for o in out1}
+    assert len(ids1) == 2
+
+    # frame 2: both move slightly; identity must persist
+    out2 = tr.update(np.array([[2, 2, 12, 12], [52, 52, 62, 62]], np.float32),
+                     np.stack([feat_a, feat_b]), np.stack([kp, kp]))
+    ids2 = {o[0] for o in out2}
+    assert ids2 == ids1
+
+    # person A appears alone at B's old position but with A's appearance:
+    # appearance weight should keep A's id
+    out3 = tr.update(np.array([[52, 52, 62, 62]], np.float32),
+                     feat_a[None], kp[None])
+    assert out3[0][0] in ids1
+
+    # occlusion: nobody for a while, then reappear within max_age
+    for _ in range(5):
+        tr.update(np.zeros((0, 4)), np.zeros((0, 16)), np.zeros((0, K, 3)))
+    out4 = tr.update(np.array([[2, 2, 12, 12]], np.float32), feat_a[None], kp[None])
+    assert out4[0][0] in ids1
+
+
+def test_tracker_new_identity_for_new_person():
+    from tpupose.engine.tracker import PoseTracker
+
+    tr = PoseTracker()
+    f1 = np.ones(8, np.float32)
+    f2 = np.concatenate([np.ones(4), -np.ones(4)]).astype(np.float32)
+    kp = np.zeros((3, 3), np.float32)
+    o1 = tr.update(np.array([[0, 0, 5, 5]], np.float32), f1[None], kp[None])
+    o2 = tr.update(np.array([[100, 100, 105, 105]], np.float32), f2[None], kp[None])
+    assert o1[0][0] != o2[0][0]

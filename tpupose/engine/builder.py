@@ -84,6 +84,14 @@ class Builder:
                 kpt_weight=self.cfg.loss.kpt_weight,
                 vis_weight=self.cfg.loss.vis_weight,
             )
+        if name == "v8_pose":
+            from tpupose.losses.v8 import v8PoseLoss
+
+            return v8PoseLoss(
+                num_keypoints=self.cfg.model.num_keypoints,
+                num_classes=self.cfg.model.num_classes,
+                strides=tuple(self.cfg.model.strides),
+            )
         raise ValueError(f"unknown loss {name!r}")
 
     # -- optimizer + schedule ---------------------------------------------------
@@ -111,6 +119,7 @@ class Builder:
             is_head=is_head,
             is_frozen=is_frozen,
             grad_clip_norm=self.cfg.train.grad_clip_norm,
+            grad_accum_steps=self.cfg.train.grad_accum_steps,
         )
         return tx
 
@@ -157,6 +166,7 @@ class Builder:
         from tpupose.data.loader import BatchLoader
 
         bs = self.cfg.train.batch_size if split == "train" else self.cfg.eval.batch_size
+        bs = min(bs, len(dataset)) if len(dataset) else bs
         return BatchLoader(dataset, batch_size=bs, shuffle=(split == "train"),
-                           drop_last=True, seed=self.cfg.train.seed,
+                           drop_last=(split == "train"), seed=self.cfg.train.seed,
                            num_workers=self.cfg.data.num_workers)

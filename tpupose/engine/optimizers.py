@@ -58,6 +58,7 @@ def make_optimizer(
     is_head: Optional[Callable[[tuple], bool]] = None,
     is_frozen: Optional[Callable[[tuple], bool]] = None,
     grad_clip_norm: float = 0.0,
+    grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """Build the optax chain.
 
@@ -98,4 +99,8 @@ def make_optimizer(
 
     if grad_clip_norm and grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    if grad_accum_steps and grad_accum_steps > 1:
+        # gradient accumulation (the reference's mini_batch_count,
+        # HPE/engine/trainer.py:96-100)
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx

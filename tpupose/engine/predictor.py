@@ -1,0 +1,88 @@
+"""Predictor — batched inference API.
+
+The reference declares predictor modules but never implements them
+(HPE/engine/predictor.py, pose/pose/engine/predictor.py are empty files —
+SURVEY.md §2.11 "declared surface"). This is the working version: a
+compiled end-to-end inference object for both model families.
+
+- heatmap family: images -> heatmaps -> (flip-test) -> DARK decode ->
+  source-coordinate keypoints.
+- yolo family: images -> decoded grid predictions -> on-device NMS ->
+  fixed-size detections.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class HeatmapPredictor:
+    def __init__(self, state, heatmap_size, decode: str = "dark",
+                 flip_test: bool = False, flip_pairs=None):
+        from tpupose.engine.evaluator import TopDownEvaluator
+
+        self._ev = TopDownEvaluator(state, heatmap_size, decode=decode,
+                                    flip_test=flip_test,
+                                    flip_pairs=flip_pairs)
+
+    def __call__(self, images, centers=None, scales=None):
+        """images: (B, H, W, 3) uint8 crops. centers/scales map results back
+        to source coords; identity (crop coords) when omitted."""
+        B = images.shape[0]
+        H, W = images.shape[1:3]
+        Hh, Wh = self._ev.heatmap_size
+        if centers is None:
+            centers = np.tile([[W / 2, H / 2]], (B, 1)).astype(np.float32)
+        if scales is None:
+            scales = np.tile([[W, H]], (B, 1)).astype(np.float32)
+        coords, scores = self._ev._step(
+            self._ev.state, jnp.asarray(images), jnp.asarray(centers),
+            jnp.asarray(scales))
+        return np.asarray(coords), np.asarray(scores)
+
+
+class YoloPosePredictor:
+    def __init__(self, state, num_classes: int, num_keypoints: int,
+                 conf_threshold: float = 0.25, iou_threshold: float = 0.45,
+                 max_detections: int = 100):
+        self.state = state
+        self.nc = num_classes
+        self.K = num_keypoints
+        self.conf = conf_threshold
+        self.iou = iou_threshold
+        self.max_det = max_detections
+        self._step = jax.jit(self._infer)
+
+    def _infer(self, state, images):
+        from tpupose.ops.nms import batched_pose_nms
+        from tpupose.ops.preprocess import normalize_images
+
+        x = normalize_images(images, scale_only=True)
+        dec = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False)                       # (B, A, nc + 3K)
+        cls = dec[..., : self.nc]
+        scores = cls.max(-1)
+        classes = cls.argmax(-1).astype(jnp.int32)
+        kpts = dec[..., self.nc:].reshape(dec.shape[0], -1, self.K, 3)
+        xs, ys = kpts[..., 0], kpts[..., 1]
+        boxes = jnp.stack([xs.min(2), ys.min(2), xs.max(2), ys.max(2)], -1)
+
+        def per_image(b, s, c, k):
+            return batched_pose_nms(b, s, c, k, self.iou, self.conf,
+                                    self.max_det)
+
+        return jax.vmap(per_image)(boxes, scores, classes, kpts)
+
+    def __call__(self, images):
+        """images: (B, H, W, 3) uint8. Returns dict of fixed-size arrays:
+        boxes (B, D, 4), scores (B, D), classes (B, D),
+        keypoints (B, D, K, 3), valid (B, D)."""
+        b, s, c, k, v = self._step(self.state, jnp.asarray(images))
+        return {"boxes": np.asarray(b), "scores": np.asarray(s),
+                "classes": np.asarray(c), "keypoints": np.asarray(k),
+                "valid": np.asarray(v)}

@@ -81,6 +81,40 @@ def make_heatmap_train_step(loss_fn):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_yolo_train_step(loss_fn):
+    """Jitted train step for single-stage YOLO-pose models.
+
+    batch: {"images": uint8 NHWC, "boxes": (B,M,4), "classes": (B,M),
+            "keypoints": (B,M,K,3), "instance_mask": (B,M)}.
+    loss_fn: (per-scale raw preds, targets) -> (total, parts)
+    (ComputeLoss or v8PoseLoss). The reference's /255-only preprocessing
+    (pose trainer :54-56) is preserved via scale_only.
+    """
+    from tpupose.ops.preprocess import normalize_images
+
+    def train_step(state: TrainState, batch):
+        imgs = normalize_images(batch["images"], scale_only=True)
+        targets = {k: batch[k] for k in
+                   ("boxes", "classes", "keypoints", "instance_mask")}
+
+        def compute_loss(params):
+            preds, mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, train=True, mutable=["batch_stats"],
+            )
+            total, parts = loss_fn(preds, targets)
+            return total, (mut["batch_stats"], parts)
+
+        (loss, (new_bs, parts)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        metrics.update({f"loss_{k}": v for k, v in parts.items()})
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
 def make_heatmap_eval_step():
     """Forward-only step returning heatmaps (NHWK)."""
 

@@ -25,6 +25,7 @@ from tpupose.engine.builder import Builder
 from tpupose.engine.checkpoint import CheckpointManager
 from tpupose.engine.train_state import (
     create_train_state, make_heatmap_eval_step, make_heatmap_train_step,
+    make_yolo_train_step,
 )
 from tpupose.ops.heatmap import gaussian_heatmaps
 from tpupose.utils.logging import printM, printS, printT
@@ -57,9 +58,28 @@ class Trainer:
         # replicate state across the mesh
         self.state = self.mesh_mgr.replicate(self.state)
 
+        self.family = ("yolo" if cfg.loss.name in ("pose_compute", "v8_pose")
+                       else "heatmap")
         self.loss_fn = self.builder.loss(self.model)
-        self.train_step = make_heatmap_train_step(self.loss_fn)
-        self.eval_step = make_heatmap_eval_step()
+        if self.family == "yolo":
+            self.train_step = make_yolo_train_step(self.loss_fn)
+
+            def _val_step(state, batch):
+                from tpupose.ops.preprocess import normalize_images
+
+                imgs = normalize_images(batch["images"], scale_only=True)
+                preds, _ = state.apply_fn(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    imgs, train=True, mutable=["batch_stats"])
+                targets = {k: batch[k] for k in
+                           ("boxes", "classes", "keypoints", "instance_mask")}
+                total, _ = self.loss_fn(preds, targets)
+                return total
+
+            self.val_step = jax.jit(_val_step)
+        else:
+            self.train_step = make_heatmap_train_step(self.loss_fn)
+            self.eval_step = make_heatmap_eval_step()
 
         ckpt_dir = os.path.join(cfg.train.output_dir, cfg.train.experiment, "ckpt")
         self.ckpt = CheckpointManager(ckpt_dir, interval=cfg.train.ckpt_interval)
@@ -68,7 +88,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _prepare_batch(self, batch):
-        """Host batch dict -> device batch with on-device Gaussian targets."""
+        """Host batch dict -> device batch; heatmap family renders Gaussian
+        targets on device, yolo family ships padded instance targets."""
+        if self.family == "yolo":
+            return self.mesh_mgr.shard_batch(
+                {k: batch[k] for k in
+                 ("images", "boxes", "classes", "keypoints", "instance_mask")})
         hm_size = tuple(self.cfg.model.heatmap_size)
         dev = self.mesh_mgr.shard_batch(
             {"images": batch["images"], "joints": batch["joints"],
@@ -109,11 +134,19 @@ class Trainer:
         total, n = 0.0, 0
         for batch in self.valid_loader:
             db = self._prepare_batch(batch)
-            preds = self.eval_step(self.state, db["images"])
-            loss = self.loss_fn(preds, db["target"], db["target_weight"])
+            if self.family == "yolo":
+                loss = self.val_step(self.state, db)
+            else:
+                preds = self.eval_step(self.state, db["images"])
+                loss = self.loss_fn(preds, db["target"], db["target_weight"])
             total += float(loss)
             n += 1
-        return total / max(n, 1)
+        if n == 0:
+            from tpupose.utils.logging import printW
+
+            printW("validation loader produced no batches")
+            return float("nan")
+        return total / n
 
     def train(self):
         cfg = self.cfg.train

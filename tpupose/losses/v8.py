@@ -1,0 +1,181 @@
+"""v8DetectionLoss / v8PoseLoss / v8ClassificationLoss — the TAL-based
+alternative training path.
+
+Capability parity with the reference's ultralytics-style loss pipeline
+(reference: HPE/utils/loss.py:4-301): target preprocess/pad (:46-61), DFL
+bbox decode (:63-70), TAL assignment, BCE-cls + CIoU/DFL box loss
+(:72-131); pose adds kpt decode (2v + anchor - 0.5) (:212-219) and
+per-anchor GT-kpt gather loss (:221-291). The reference file has broken
+imports and is never wired into a trainer (SURVEY.md §2.5) — here it is
+complete and tested.
+
+Static-shape design: GTs arrive padded (B, M) + mask (no ragged
+preprocess); positives stay dense (B, A) masked by fg_mask; the assigner
+runs once per step.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpupose.losses.assigner import TaskAlignedAssigner
+from tpupose.losses.bbox import ciou, xywh2xyxy, xyxy2xywh
+from tpupose.losses.classify import binary_cross_entropy_with_logits
+from tpupose.losses.keypoint import oks_loss
+from tpupose.models.yolo_head import dist2bbox, make_anchors
+
+
+def dfl_loss(pred_dist, target_dist, reg_max: int = 16):
+    """Distribution focal loss: CE against the two integer bins bracketing
+    the target (reference DFLoss semantics, HPE/core/loss/df.py).
+    pred_dist: (..., 4, reg_max) logits; target_dist: (..., 4) continuous
+    in [0, reg_max - 1]. Returns (...,)."""
+    tl = jnp.clip(jnp.floor(target_dist), 0, reg_max - 2).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(jnp.float32) - target_dist
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
+    lr = jnp.take_along_axis(logp, tr[..., None], axis=-1)[..., 0]
+    return -(ll * wl + lr * wr).mean(axis=-1)  # mean over the 4 sides
+
+
+class v8DetectionLoss:
+    """TAL + BCE cls + CIoU/DFL box loss over multi-scale raw NHWC maps."""
+
+    def __init__(self, num_classes: int, reg_max: int = 16,
+                 strides: Sequence[int] = (8, 16, 32),
+                 box_weight: float = 7.5, cls_weight: float = 0.5,
+                 dfl_weight: float = 1.5, tal_topk: int = 10):
+        self.nc = num_classes
+        self.reg_max = reg_max
+        self.strides = tuple(strides)
+        self.box_w, self.cls_w, self.dfl_w = box_weight, cls_weight, dfl_weight
+        self.assigner = TaskAlignedAssigner(topk=tal_topk, num_classes=num_classes)
+
+    # -- shared machinery ---------------------------------------------------
+    def _flatten(self, preds):
+        shapes = [p.shape[1:3] for p in preds]
+        anchors, strides = make_anchors(shapes, self.strides)
+        B = preds[0].shape[0]
+        flat = jnp.concatenate([p.reshape(B, -1, p.shape[-1]) for p in preds], 1)
+        H0, W0 = preds[0].shape[1:3]
+        in_wh = (W0 * self.strides[0], H0 * self.strides[0])
+        return flat, anchors, strides, in_wh
+
+    def _assign(self, flat, anchors, strides, in_wh, targets):
+        dist_logits = flat[..., : 4 * self.reg_max]
+        cls_logits = flat[..., 4 * self.reg_max: 4 * self.reg_max + self.nc]
+        cls_logits = cls_logits.astype(jnp.float32)
+        B, A, _ = flat.shape
+        d = dist_logits.reshape(B, A, 4, self.reg_max)
+        p = jax.nn.softmax(d.astype(jnp.float32), axis=-1)
+        dist = jnp.sum(p * jnp.arange(self.reg_max, dtype=jnp.float32), -1)
+        pd_boxes = dist2bbox(dist, anchors[None], xywh=False)   # grid units
+
+        in_w, in_h = in_wh
+        scale = jnp.array([in_w, in_h, in_w, in_h], jnp.float32)
+        gt_pix = xywh2xyxy(targets["boxes"] * scale)
+        anc_pix = anchors * strides[:, None]
+        pd_pix = pd_boxes * strides[None, :, None]
+        tl_, tb, ts, fg, tgi = self.assigner(
+            jax.nn.sigmoid(cls_logits), pd_pix, anc_pix,
+            targets["classes"], gt_pix,
+            targets["instance_mask"].astype(jnp.float32))
+        return {
+            "cls_logits": cls_logits, "dist_raw": d, "pd_pix": pd_pix,
+            "anchors": anchors, "strides": strides,
+            "target_bboxes": tb, "target_scores": ts, "fg": fg,
+            "target_gt_idx": tgi, "in_wh": in_wh,
+        }
+
+    def _det_losses(self, a):
+        ts = a["target_scores"]
+        ts_sum = jnp.maximum(ts.sum(), 1.0)
+        loss_cls = binary_cross_entropy_with_logits(
+            a["cls_logits"], ts).sum() / ts_sum
+
+        fgf = a["fg"].astype(jnp.float32)
+        w = ts.sum(-1) * fgf
+        iou = ciou(xyxy2xywh(a["pd_pix"]), xyxy2xywh(a["target_bboxes"]))
+        loss_box = ((1.0 - iou) * w).sum() / ts_sum
+
+        tb_grid = a["target_bboxes"] / a["strides"][None, :, None]
+        anc = a["anchors"][None]
+        t_ltrb = jnp.concatenate([anc - tb_grid[..., :2],
+                                  tb_grid[..., 2:] - anc], -1)
+        t_ltrb = jnp.clip(t_ltrb, 0, self.reg_max - 1.01)
+        loss_dfl = (dfl_loss(a["dist_raw"], t_ltrb, self.reg_max) * w).sum() / ts_sum
+        return loss_box, loss_cls, loss_dfl
+
+    def __call__(self, preds, targets):
+        """preds: per-scale (B, H, W, 4*reg_max + nc) raw maps.
+        targets: {"boxes" (B,M,4) normalized xywh, "classes" (B,M),
+                  "instance_mask" (B,M)}."""
+        flat, anchors, strides, in_wh = self._flatten(preds)
+        a = self._assign(flat, anchors, strides, in_wh, targets)
+        loss_box, loss_cls, loss_dfl = self._det_losses(a)
+        total = (self.box_w * loss_box + self.cls_w * loss_cls
+                 + self.dfl_w * loss_dfl)
+        return total, {"box": loss_box, "cls": loss_cls, "dfl": loss_dfl}
+
+
+class v8PoseLoss(v8DetectionLoss):
+    """Detection loss + keypoint location/visibility losses on TAL positives
+    (reference: HPE/utils/loss.py:180-301). One assigner pass."""
+
+    def __init__(self, num_keypoints: int, num_classes: int = 1,
+                 kpt_weight: float = 12.0, vis_weight: float = 1.0, **kw):
+        super().__init__(num_classes=num_classes, **kw)
+        self.K = num_keypoints
+        self.kpt_w = kpt_weight
+        self.vis_w = vis_weight
+
+    def __call__(self, preds, targets):
+        """preds: per-scale (B, H, W, 4*reg_max + nc + K*3) raw maps.
+        targets additionally holds "keypoints" (B, M, K, 3) normalized."""
+        base_ch = 4 * self.reg_max + self.nc
+        flat, anchors, strides, in_wh = self._flatten(preds)
+        a = self._assign(flat, anchors, strides, in_wh, targets)
+        loss_box, loss_cls, loss_dfl = self._det_losses(a)
+
+        B, A, _ = flat.shape
+        kpt_raw = flat[..., base_ch:].reshape(B, A, self.K, 3).astype(jnp.float32)
+        # kpt decode: xy = (2*raw + anchor - 0.5) * stride (utils/loss.py:212-219)
+        xy = (2.0 * kpt_raw[..., :2] + (anchors[None, :, None, :] - 0.5)) \
+            * strides[None, :, None, None]
+
+        in_w, in_h = in_wh
+        gk = jnp.take_along_axis(targets["keypoints"],
+                                 a["target_gt_idx"][..., None, None], axis=1)
+        gk_xy = gk[..., :2] * jnp.array([in_w, in_h], jnp.float32)
+        gk_vis = (gk[..., 2] > 0).astype(jnp.float32)
+
+        tb = a["target_bboxes"]
+        area = jnp.clip((tb[..., 2] - tb[..., 0]) * (tb[..., 3] - tb[..., 1]),
+                        1e-3, None)
+        fgf = a["fg"].astype(jnp.float32)
+        kl = oks_loss(xy, gk_xy, gk_vis * fgf[..., None], area)
+        npos = jnp.maximum(fgf.sum(), 1.0)
+        loss_kpt = (kl * fgf).sum() / npos
+        vis = binary_cross_entropy_with_logits(kpt_raw[..., 2], gk_vis)
+        loss_vis = (vis.mean(-1) * fgf).sum() / npos
+
+        total = (self.box_w * loss_box + self.cls_w * loss_cls
+                 + self.dfl_w * loss_dfl + self.kpt_w * loss_kpt
+                 + self.vis_w * loss_vis)
+        return total, {"box": loss_box, "cls": loss_cls, "dfl": loss_dfl,
+                       "kpt": loss_kpt, "vis": loss_vis}
+
+
+class v8ClassificationLoss:
+    """Plain softmax CE (reference: HPE/utils/loss.py v8ClassificationLoss)."""
+
+    def __call__(self, logits, labels):
+        from tpupose.losses.classify import cross_entropy
+
+        loss = cross_entropy(logits, labels).mean()
+        return loss, {"cls": loss}

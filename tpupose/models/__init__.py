@@ -3,11 +3,21 @@ name lookup for Builder.model(), HPE/core/builder.py:15-24)."""
 
 from tpupose.models.simple_baseline import SimpleBaseline
 from tpupose.models.dinov3_pose import DINOv3Pose
+from tpupose.models.deeppose import DeepPose
+from tpupose.models.backbones.hrnet import HRNetPose
+from tpupose.models.fcmae import FCMAE
+from tpupose.models.fskd import FSKD
 from tpupose.models.heads import HeatmapHead, RegressionHead, ClassifyHead
+from tpupose.models.attention import Attention, GatedAttention
+from tpupose.models.meta import MetaSpace, gaussian_pool
 
 MODELS = {
     "simple_baseline": SimpleBaseline,
     "dinov3_pose": DINOv3Pose,
+    "hrnet": HRNetPose,
+    "deeppose": DeepPose,
+    "fcmae": FCMAE,
+    "fskd": FSKD,
 }
 
 
@@ -23,4 +33,6 @@ def get_model(name: str):
 
 
 __all__ = ["MODELS", "register_model", "get_model",
-           "SimpleBaseline", "HeatmapHead", "RegressionHead", "ClassifyHead"]
+           "SimpleBaseline", "DINOv3Pose", "DeepPose", "HRNetPose",
+           "FCMAE", "FSKD", "HeatmapHead", "RegressionHead", "ClassifyHead",
+           "Attention", "GatedAttention", "MetaSpace", "gaussian_pool"]

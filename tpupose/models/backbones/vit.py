@@ -53,11 +53,12 @@ def rope_2d_sincos(h: int, w: int, dim: int, base: float = 100.0,
 
 
 def apply_rope(q, sin, cos):
-    """Rotate patch-token halves. q: (..., T, dim) with T == sin.shape[0]."""
+    """Rotate patch-token halves. q: (B, T, heads, head_dim) with
+    T == sin.shape[0]; sin/cos: (T, head_dim // 2)."""
     d2 = q.shape[-1] // 2
     q1, q2 = q[..., :d2], q[..., d2:]
-    sin = sin.astype(q.dtype)
-    cos = cos.astype(q.dtype)
+    sin = sin[:, None, :].astype(q.dtype)   # (T, 1, d2) over (B, T, h, d2)
+    cos = cos[:, None, :].astype(q.dtype)
     return jnp.concatenate([q1 * cos - q2 * sin, q2 * cos + q1 * sin], axis=-1)
 
 
