@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 REFERENCE_IPS = 1000.0
-BATCH = 64
+BATCH = 128          # v5e sweet spot for R50 @ 256x192 (measured)
 WARMUP = 5
 ITERS = 20
 

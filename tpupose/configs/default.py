@@ -73,6 +73,7 @@ class TrainConfig:
     ckpt_interval: int = 1              # epochs between periodic checkpoints
     output_dir: str = "output"
     experiment: str = "default"
+    profile_dir: str = ""               # non-empty: jax.profiler trace of one step
 
 
 @dataclass

@@ -87,6 +87,28 @@ class Trainer:
             self.load_checkpoint(cfg.model.checkpoint)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _prefetched(loader, depth: int = 2):
+        """Host-side lookahead: collate the next batches in a background
+        thread so disk/np work overlaps the compiled step (the
+        DataLoader-workers/prefetch_factor analog, HPE/train.py:72-79)."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=depth)
+
+        def worker():
+            for b in loader:
+                q.put(b)
+            q.put(None)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            b = q.get()
+            if b is None:
+                return
+            yield b
+
     def _prepare_batch(self, batch):
         """Host batch dict -> device batch; heatmap family renders Gaussian
         targets on device, yolo family ships padded instance targets."""
@@ -110,9 +132,16 @@ class Trainer:
         t0 = time.perf_counter()
         n_img = 0
         metrics = None
-        for step, batch in enumerate(self.train_loader):
+        profile_dir = getattr(self.cfg.train, "profile_dir", "")
+        for step, batch in enumerate(self._prefetched(self.train_loader)):
+            if profile_dir and epoch == 0 and step == 10:
+                # one profiled step (SURVEY.md §5.1: jax.profiler hooks)
+                jax.profiler.start_trace(profile_dir)
             db = self._prepare_batch(batch)
             self.state, metrics = self.train_step(self.state, db)
+            if profile_dir and epoch == 0 and step == 10:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
             n_img += db["images"].shape[0]
             if (step + 1) % self.cfg.train.log_interval == 0 or step == 0:
                 m = jax.device_get(metrics)
