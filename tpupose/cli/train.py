@@ -21,10 +21,22 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = update_config(default_config(), args)
     try:
+        if cfg.model.name == "fskd":
+            from tpupose.engine.episodic_trainer import EpisodicTrainer
+
+            EpisodicTrainer(cfg).train()
+            return 0
+        if cfg.model.name == "fcmae":
+            from tpupose.engine.episodic_trainer import MAETrainer
+
+            MAETrainer(cfg).train()
+            return 0
         trainer = Trainer(cfg)
         if args.test:
             loss = trainer.validate()
-            printS(f"validation loss: {loss:.5f}")
+            metrics = trainer.evaluate()
+            printS(f"validation loss: {loss:.5f} | "
+                   + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
             return 0
         trainer.train()
         return 0

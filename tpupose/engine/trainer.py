@@ -18,6 +18,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpupose.configs.default import Config
 from tpupose.data.loader import prefetch_to_device
@@ -55,6 +56,12 @@ class Trainer:
         params_probe = self.model.init(init_rng, sample, train=False)["params"]
         tx = self.builder.optimizer(params_probe, steps_per_epoch)
         self.state = create_train_state(self.model, init_rng, sample, tx)
+        if cfg.model.pretrained:
+            from tpupose.models.pretrained import load_pretrained
+
+            self.state = self.state.replace(params=load_pretrained(
+                dict(self.state.params), cfg.model.pretrained,
+                cfg.model.backbone))
         # replicate state across the mesh
         self.state = self.mesh_mgr.replicate(self.state)
 
@@ -176,6 +183,49 @@ class Trainer:
             printW("validation loader produced no batches")
             return float("nan")
         return total / n
+
+    def evaluate(self) -> dict:
+        """Metric evaluation for the heatmap family: flip-test + DARK +
+        back-projection + PCK/MPJPE over the valid set (the reference only
+        ever wires loss, SURVEY.md §5.5 — this runs the real metrics)."""
+        if self.family != "heatmap":
+            return {"val_loss": self.validate()}
+        from tpupose.engine.evaluator import TopDownEvaluator
+        from tpupose.metrics.mpjpe import MPJPE
+        from tpupose.metrics.pck import PCK
+
+        ev = TopDownEvaluator(
+            self.state, tuple(self.cfg.model.heatmap_size),
+            decode=self.cfg.eval.decode,
+            flip_test=self.cfg.eval.flip_test,
+            flip_pairs=(np.zeros((0, 2), np.int64)
+                        if self.cfg.model.num_keypoints != 17 else None),
+            blur_kernel=self.cfg.eval.blur_kernel,
+            sigma=self.cfg.data.sigma)
+        pck, mpjpe = PCK(alpha=0.2), MPJPE()
+        import jax.numpy as jnp_
+
+        for batch in self.valid_loader:
+            coords, scores = ev._step(
+                self.state, jnp_.asarray(batch["images"]),
+                jnp_.asarray(batch["center"]), jnp_.asarray(batch["scale"]))
+            if "joints_src" in batch:
+                gt = np.asarray(batch["joints_src"])
+            else:
+                # synthetic sets store joints in heatmap coords; project
+                from tpupose.ops.affine import transform_preds
+
+                gt = np.asarray(jax.vmap(
+                    lambda c, ct, sc: transform_preds(
+                        c, ct, sc, tuple(self.cfg.model.heatmap_size)))(
+                    jnp_.asarray(batch["joints"]),
+                    jnp_.asarray(batch["center"]),
+                    jnp_.asarray(batch["scale"])))
+            pck.update(np.asarray(coords), gt, batch["visibility"])
+            mpjpe.update(np.asarray(coords), gt, batch["visibility"])
+        out = {"pck@0.2": pck.compute()["pck"], **mpjpe.compute()}
+        printM("eval: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
+        return out
 
     def train(self):
         cfg = self.cfg.train

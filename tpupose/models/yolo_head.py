@@ -160,12 +160,23 @@ class DFL(nn.Module):
 
 
 class DetectHead(nn.Module):
-    """YOLO detect head with DFL box branch (reference head.py:27-120)."""
+    """YOLO detect head with DFL box branch (reference head.py:27-120).
+
+    objectness=True reproduces the head3 variant (reference
+    head3.py:1-199): an extra objectness channel next to the box
+    distribution (4*reg_max + 1), split at decode and multiplied into the
+    class scores; head3 pairs it with reg_max=4.
+    """
 
     num_classes: int = 80
     reg_max: int = 16
     strides: tuple = (8, 16, 32)
+    objectness: bool = False
     dtype: Any = jnp.bfloat16
+
+    @property
+    def box_ch(self):
+        return 4 * self.reg_max + (1 if self.objectness else 0)
 
     @nn.compact
     def __call__(self, feats, train: bool = True):
@@ -176,7 +187,7 @@ class DetectHead(nn.Module):
         for f in feats:
             box = ConvBlock(c2, 3, dtype=self.dtype)(f, train)
             box = ConvBlock(c2, 3, dtype=self.dtype)(box, train)
-            box = nn.Conv(4 * self.reg_max, (1, 1), dtype=jnp.float32)(box)
+            box = nn.Conv(self.box_ch, (1, 1), dtype=jnp.float32)(box)
             cls = ConvBlock(c3, 3, dtype=self.dtype)(f, train)
             cls = ConvBlock(c3, 3, dtype=self.dtype)(cls, train)
             bias_init = nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
@@ -188,9 +199,12 @@ class DetectHead(nn.Module):
         shapes = [o.shape[1:3] for o in outs]
         anchors, strides = make_anchors(shapes, self.strides)
         B = outs[0].shape[0]
-        C = 4 * self.reg_max + self.num_classes
+        C = self.box_ch + self.num_classes
         flat = jnp.concatenate([o.reshape(B, -1, C) for o in outs], axis=1)
         dist = DFL(self.reg_max)(flat[..., : 4 * self.reg_max])
         boxes = dist2bbox(dist, anchors[None]) * strides[None, :, None]
-        cls = jax.nn.sigmoid(flat[..., 4 * self.reg_max:])
+        cls = jax.nn.sigmoid(flat[..., self.box_ch:])
+        if self.objectness:
+            obj = jax.nn.sigmoid(flat[..., 4 * self.reg_max: self.box_ch])
+            cls = cls * obj
         return jnp.concatenate([boxes, cls], axis=-1)
