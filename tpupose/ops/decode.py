@@ -67,7 +67,7 @@ def gaussian_blur(heatmaps, kernel_size: int = 11, sigma: float = 2.0):
     half = kernel_size // 2
     xs = jnp.arange(-half, half + 1, dtype=jnp.float32)
     k = jnp.exp(-(xs ** 2) / (2.0 * sigma * sigma))
-    k = k / jnp.sum(k)
+    k = (k / jnp.sum(k)).astype(heatmaps.dtype)
     B, K, H, W = heatmaps.shape
     orig_max = jnp.max(heatmaps.reshape(B, K, -1), axis=-1)
     x = heatmaps.reshape(B * K, 1, H, W)
