@@ -1,0 +1,93 @@
+"""Native host-IO runtime (C++/libjpeg via ctypes) + the YoloPoseDataset
+integration. Skips gracefully when the toolchain is unavailable."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        # smooth gradient images: resize-algorithm differences stay small
+        x = np.linspace(0, 255, 320, dtype=np.float32)
+        img = np.stack([np.tile(x, (240, 1))] * 3, -1).astype(np.uint8)
+        img += rng.randint(0, 10, img.shape).astype(np.uint8)
+        Image.fromarray(img).save(d / f"im{i}.jpg", quality=92)
+    return str(d)
+
+
+def test_native_decode_matches_pil_closely(jpeg_dir):
+    from tpupose.data.native_io import decode_jpeg_batch, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(jpeg_dir, "*.jpg")))
+    out = decode_jpeg_batch(paths, 128, 96, num_threads=4)
+    assert out.shape == (4, 128, 96, 3)
+    ref = np.asarray(Image.open(paths[0]).convert("RGB").resize((96, 128)),
+                     np.uint8)
+    diff = np.abs(out[0].astype(int) - ref.astype(int)).mean()
+    assert diff < 6.0, diff  # different resize filters; must stay close
+
+
+def test_native_decode_missing_file_zero_fills(jpeg_dir):
+    from tpupose.data.native_io import decode_jpeg_batch, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    out = decode_jpeg_batch([os.path.join(jpeg_dir, "nope.jpg")], 32, 32)
+    assert (out == 0).all()
+
+
+def test_native_label_parser_formats(tmp_path):
+    from tpupose.data.native_io import parse_yolo_label
+
+    p = tmp_path / "l.txt"
+    p.write_text("0 0.5 0.5 0.2 0.2 0.4 0.4 2\n1 0.1 0.1 0.1 0.1 0.2 0.2 1\n")
+    rows = parse_yolo_label(str(p), 8)
+    assert rows.shape == (2, 8)
+    np.testing.assert_allclose(rows[0], [0, 0.5, 0.5, 0.2, 0.2, 0.4, 0.4, 2],
+                               atol=1e-6)
+    # wrong column count -> None
+    bad = tmp_path / "b.txt"
+    bad.write_text("0 0.5 0.5\n")
+    assert parse_yolo_label(str(bad), 8) is None
+    # missing -> empty
+    assert parse_yolo_label(str(tmp_path / "x.txt"), 8).shape == (0, 8)
+
+
+def test_yolo_dataset_uses_native_path(tmp_path, jpeg_dir):
+    import glob
+    import shutil
+
+    from tpupose.data.yolo_pose import YoloPoseDataset
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    for i, p in enumerate(sorted(glob.glob(os.path.join(jpeg_dir, "*.jpg")))):
+        shutil.copy(p, img_dir / f"im{i}.jpg")
+        # 3-dim kpt row for K=1
+        (lbl_dir / f"im{i}.txt").write_text("0 0.5 0.5 0.4 0.4 0.5 0.5 2\n")
+    ds = YoloPoseDataset(str(img_dir), str(lbl_dir), image_size=(64, 64),
+                         num_keypoints=1, max_instances=4)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert s["instance_mask"].sum() == 1
+    np.testing.assert_allclose(s["keypoints"][0, 0], [0.5, 0.5, 2.0])
+
+    # 2-dim kpt format pads v=1
+    (lbl_dir / "im0.txt").write_text("0 0.5 0.5 0.4 0.4 0.3 0.3\n")
+    ds2 = YoloPoseDataset(str(img_dir), str(lbl_dir), image_size=(64, 64),
+                          num_keypoints=1, max_instances=4)
+    s2 = ds2[0]
+    np.testing.assert_allclose(s2["keypoints"][0, 0], [0.3, 0.3, 1.0])

@@ -1,0 +1,117 @@
+"""ctypes bindings for the native host-IO runtime (tpupose/native/io.cc).
+
+Builds libtpupose_io.so on first use (g++ is in the image; pybind11 is
+not, so bindings are plain ctypes per the environment constraints).
+Falls back to PIL transparently when the toolchain or libjpeg is absent —
+callers never need to care.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from tpupose.utils.logging import printT, printW
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libtpupose_io.so"))
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # missing g++/libjpeg -> fall back
+        printW(f"native io build failed ({e}); using PIL fallback")
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            printW(f"native io load failed ({e}); using PIL fallback")
+            return None
+        lib.tp_decode_jpeg_resize.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.tp_decode_jpeg_resize.restype = ctypes.c_int
+        lib.tp_decode_jpeg_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib.tp_decode_jpeg_batch.restype = ctypes.c_int
+        lib.tp_parse_yolo_label.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int]
+        lib.tp_parse_yolo_label.restype = ctypes.c_int
+        _lib = lib
+        printT("native io runtime loaded")
+        return _lib
+
+
+def decode_jpeg_batch(paths, out_h: int, out_w: int,
+                      num_threads: int = 8) -> np.ndarray:
+    """Decode+stretch-resize a list of JPEGs to (N, out_h, out_w, 3) uint8.
+    Native threaded path when available, PIL otherwise."""
+    lib = get_lib()
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    if lib is not None and n:
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        fails = lib.tp_decode_jpeg_batch(
+            arr, n, out_h, out_w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
+        if fails:
+            printW(f"native decode: {fails}/{n} failures (zero-filled)")
+        return out
+    from PIL import Image
+
+    for i, p in enumerate(paths):
+        out[i] = np.asarray(
+            Image.open(p).convert("RGB").resize((out_w, out_h)), np.uint8)
+    return out
+
+
+def parse_yolo_label(path: str, cols: int, max_rows: int = 256):
+    """Parse one YOLO label txt -> (rows, cols) float32, or None if
+    malformed (the check_file behavior). Falls back to numpy parsing."""
+    lib = get_lib()
+    if lib is not None:
+        buf = np.zeros((max_rows, cols), np.float32)
+        r = lib.tp_parse_yolo_label(
+            path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_rows, cols)
+        if r == -2:
+            return np.zeros((0, cols), np.float32)
+        if r < 0:
+            return None
+        return buf[: min(r, max_rows)].copy()
+    # python fallback
+    if not os.path.exists(path):
+        return np.zeros((0, cols), np.float32)
+    rows = []
+    with open(path) as f:
+        for ln in f:
+            vals = ln.split()
+            if not vals:
+                continue
+            if len(vals) != cols:
+                return None
+            rows.append([float(v) for v in vals])
+    return np.asarray(rows, np.float32).reshape(-1, cols)

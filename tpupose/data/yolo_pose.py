@@ -48,44 +48,41 @@ class YoloPoseDataset:
 
     def _parse_label(self, path: str):
         """Rows: cls cx cy w h (x y [v])*K, normalized. Pads v=1 when the
-        label stores 2-dim keypoints (reference: HPE/dataset.py:30-33)."""
+        label stores 2-dim keypoints (reference: HPE/dataset.py:30-33).
+        Fast path: the native C++ parser (tpupose/native/io.cc)."""
+        from tpupose.data.native_io import parse_yolo_label
+
         K = self.num_keypoints
         if not os.path.exists(path):
             return np.zeros((0, 5 + 3 * K), np.float32)
-        rows = []
-        with open(path) as f:
-            for ln in f:
-                vals = [float(v) for v in ln.split()]
-                if not vals:
-                    continue
-                if len(vals) == 5 + 3 * K:
-                    rows.append(vals)
-                elif len(vals) == 5 + 2 * K:
-                    out = vals[:5]
-                    for k in range(K):
-                        out += [vals[5 + 2 * k], vals[6 + 2 * k], 1.0]
-                    rows.append(out)
-                else:
-                    return None  # wrong column count (check_file.py behavior)
-        return np.asarray(rows, np.float32).reshape(-1, 5 + 3 * K)
+        rows = parse_yolo_label(path, 5 + 3 * K, max_rows=self.max_instances)
+        if rows is not None:
+            return rows
+        # 2-dim keypoint format: parse and pad v=1
+        rows = parse_yolo_label(path, 5 + 2 * K, max_rows=self.max_instances)
+        if rows is None:
+            return None  # wrong column count (check_file.py behavior)
+        out = np.ones((rows.shape[0], 5 + 3 * K), np.float32)
+        out[:, :5] = rows[:, :5]
+        out[:, 5::3] = rows[:, 5::2]
+        out[:, 6::3] = rows[:, 6::2]
+        return out
 
     def __len__(self):
         return len(self.image_paths)
 
     def _read_image(self, path: str):
-        try:
-            from PIL import Image
+        H, W = self.image_size
+        if path.lower().endswith((".jpg", ".jpeg")):
+            # native libjpeg decode + DCT prescale + resize (io.cc);
+            # transparently falls back to PIL inside native_io
+            from tpupose.data.native_io import decode_jpeg_batch
 
-            img = Image.open(path).convert("RGB")
-            H, W = self.image_size
-            img = img.resize((W, H))  # stretch resize (HPE/dataset.py:61-65)
-            return np.asarray(img, np.uint8)
-        except ImportError:
-            import cv2
+            return decode_jpeg_batch([path], H, W, num_threads=1)[0]
+        from PIL import Image
 
-            img = cv2.imread(path)
-            img = cv2.resize(img, (self.image_size[1], self.image_size[0]))
-            return img[..., ::-1].copy()  # BGR -> RGB
+        img = Image.open(path).convert("RGB")
+        return np.asarray(img.resize((W, H)), np.uint8)  # stretch resize
 
     def __getitem__(self, idx: int) -> dict:
         K, M = self.num_keypoints, self.max_instances
