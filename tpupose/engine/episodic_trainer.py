@@ -51,9 +51,11 @@ class EpisodicTrainer:
             episodes_per_epoch=d.episodes_per_epoch, seed=cfg.train.seed)
 
         dtype = jnp.bfloat16 if cfg.train.mixed_precision else jnp.float32
+        vit_size = cfg.model.backbone.replace("vit_", "") \
+            if cfg.model.backbone.startswith("vit") else "small"
         self.model = FSKD(n_way=d.n_way,
                           num_keypoints=cfg.model.num_keypoints,
-                          dim=256, vit_size="small", dtype=dtype)
+                          dim=256, vit_size=vit_size, dtype=dtype)
         ep = self.episodes[0]
         self.rng, init_rng = jax.random.split(self.rng)
         variables = self.model.init(

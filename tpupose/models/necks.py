@@ -153,6 +153,31 @@ class FeatureAdaptor(nn.Module):
         return out
 
 
+class AttentionBlock(nn.Module):
+    """Transformer block over an NHWC feature map (reference
+    block.py:159-179): flatten to tokens, pre-LN MHSA + MLP with
+    residuals, reshape back."""
+
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from tpupose.models.attention import Attention
+
+        B, H, W, C = x.shape
+        t = x.reshape(B, H * W, C)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(t)
+        t = t + Attention(C, self.num_heads, dtype=self.dtype)(h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(t)
+        h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(C, dtype=self.dtype)(h)
+        t = t + h
+        return t.reshape(B, H, W, C)
+
+
 class DropPath(nn.Module):
     """Stochastic depth (block.py:181-200)."""
 
