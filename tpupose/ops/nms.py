@@ -9,6 +9,7 @@ matrix inside jit — no host round-trip, no dynamic output shapes
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -59,13 +60,28 @@ def batched_pose_nms(boxes, scores, classes, keypoints,
                      iou_threshold: float = 0.45,
                      conf_threshold: float = 0.25,
                      max_det: int = 100,
-                     class_offset: float = 7680.0):
+                     class_offset: float = 7680.0,
+                     pre_nms_topk: int = 512):
     """Single-image pose NMS with the reference's class-offset trick
     (HPE/test.py:169: boxes offset by class_id * 7680 so NMS is per-class).
 
     boxes (N,4) xyxy, scores (N,), classes (N,) int, keypoints (N,K,3).
     Returns fixed-size (max_det, ...) arrays + a valid mask — jittable.
+
+    For dense anchor grids (e.g. 8400 anchors at 640x640) the quadratic
+    suppression is gated behind a top-k preselect: only the best
+    `pre_nms_topk` candidates by score enter NMS — the IoU matrix stays
+    (topk, topk) and the suppression scan O(topk), independent of grid
+    size (the reference's conf filter HPE/test.py:99-117 plays this role).
     """
+    n = boxes.shape[0]
+    k = min(pre_nms_topk, n)
+    if k < n:
+        top_scores, sel = jax.lax.top_k(scores, k)
+        boxes = boxes[sel]
+        classes = classes[sel]
+        keypoints = keypoints[sel]
+        scores = top_scores
     valid = scores >= conf_threshold
     off = classes.astype(boxes.dtype)[:, None] * class_offset
     keep = nms(boxes + off, scores, iou_threshold, valid=valid)
