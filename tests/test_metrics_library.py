@@ -1,0 +1,120 @@
+"""Metric library: hand-computed values for PCK/PCKh/PDJ/PCP(m)/MPJPE/
+DetectionMAP/ClassifyMet/mask_iou (the reference keeps these checks in
+__main__ smoke blocks, SURVEY.md §4; here they are real tests)."""
+
+import numpy as np
+
+from tpupose.metrics import (
+    CMet, ClassifyMet, DetectionMAP, MPJPE, PCK, PCKh, PCP, PCPm, PDJ,
+    PMet, mask_iou,
+)
+
+
+def test_pck_hand_computed():
+    # bbox max-side = 10; alpha 0.5 -> threshold 5
+    gt = np.array([[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]]])
+    pred = gt + np.array([[[3.0, 0.0], [0.0, 6.0], [0.0, 0.0]]])
+    vis = np.ones((1, 3))
+    m = PCK(alpha=0.5)
+    m.update(pred, gt, vis)
+    out = m.compute()
+    assert out["pck"] == 2 / 3
+    np.testing.assert_allclose(out["per_joint"], [1, 0, 1])
+
+
+def test_pckh_uses_head_size():
+    # head joints 0-1 distance 10 * 0.6 = 6; alpha 0.5 -> threshold 3
+    gt = np.zeros((1, 3, 2))
+    gt[0, 1] = [10, 0]
+    gt[0, 2] = [5, 5]
+    pred = gt.copy()
+    pred[0, 2] += [2.9, 0]   # within 3
+    pred[0, 0] += [4.0, 0]   # outside 3
+    m = PCKh(alpha=0.5, head_indices=(0, 1))
+    m.update(pred, gt, np.ones((1, 3)))
+    assert m.compute()["pckh"] == 2 / 3
+
+
+def test_pdj_uses_torso():
+    gt = np.zeros((1, 4, 2))
+    gt[0, 1] = [0, 20]  # torso = joints 0,1 -> 20; alpha .2 -> threshold 4
+    pred = gt.copy()
+    pred[0, 2] += [3.9, 0]
+    pred[0, 3] += [4.1, 0]
+    m = PDJ(alpha=0.2, torso_indices=(0, 1))
+    m.update(pred, gt, np.ones((1, 4)))
+    assert m.compute()["pdj"] == 3 / 4
+
+
+def test_pcp_both_endpoints_rule():
+    # limb (0,1) length 10, alpha .5 -> threshold 5
+    gt = np.zeros((1, 2, 2))
+    gt[0, 1] = [10, 0]
+    ok_pred = gt + 3.0
+    bad_pred = gt.copy()
+    bad_pred[0, 1] += [0, 7]  # one endpoint off -> limb incorrect
+    m = PCP(alpha=0.5, limbs=((0, 1),))
+    m.update(ok_pred, gt, np.ones((1, 2)))
+    m.update(bad_pred, gt, np.ones((1, 2)))
+    out = m.compute()
+    assert out["pcp"] == 0.5
+
+
+def test_pcpm_uses_mean_limb_length():
+    gt1 = np.zeros((1, 2, 2)); gt1[0, 1] = [2, 0]    # short limb
+    gt2 = np.zeros((1, 2, 2)); gt2[0, 1] = [18, 0]   # long limb; mean = 10
+    pred_off = lambda g: g + np.array([[[0, 4.0], [0, 4.0]]])
+    m = PCPm(alpha=0.5, limbs=((0, 1),))   # threshold = 5 (mean-based)
+    m.update(pred_off(gt1), gt1, np.ones((1, 2)))
+    m.update(pred_off(gt2), gt2, np.ones((1, 2)))
+    assert m.compute()["pcpm"] == 1.0      # both within mean-based 5
+    # per-instance PCP would have failed the short limb (threshold 1)
+    m2 = PCP(alpha=0.5, limbs=((0, 1),))
+    m2.update(pred_off(gt1), gt1, np.ones((1, 2)))
+    assert m2.compute()["pcp"] == 0.0
+
+
+def test_mpjpe_visibility_mask():
+    gt = np.zeros((1, 2, 2))
+    pred = gt + np.array([[[3, 4], [30, 40]]])  # dists 5 and 50
+    m = MPJPE()
+    m.update(pred, gt, np.array([[1, 0]]))
+    assert m.compute()["mpjpe"] == 5.0
+
+
+def test_detection_map_perfect_and_missed():
+    m = DetectionMAP(num_classes=1)
+    gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    m.update(gt, np.array([0.9, 0.8]), np.zeros(2, int), gt, np.zeros(2, int))
+    out = m.compute()
+    assert out["mAP50"] == 1.0
+    m2 = DetectionMAP(num_classes=1)
+    m2.update(gt + 100, np.array([0.9, 0.8]), np.zeros(2, int), gt,
+              np.zeros(2, int))
+    assert m2.compute()["mAP"] == 0.0
+
+
+def test_classify_metrics():
+    m = ClassifyMet(num_classes=3, topk=2)
+    logits = np.array([[5, 1, 0], [0, 5, 1], [1, 0, 5], [4, 5, 0]], np.float32)
+    labels = np.array([0, 1, 2, 0])  # last one wrong (pred 1), but top-2 hit
+    m.update(logits, labels)
+    out = m.compute()
+    assert out["accuracy"] == 3 / 4
+    assert out["top2"] == 1.0
+    assert out["recall"][0] == 0.5  # class 0: 1 of 2 correct
+
+
+def test_mask_iou():
+    a = np.zeros((1, 4, 4), bool); a[0, :2] = True        # 8 px
+    b = np.zeros((2, 4, 4), bool); b[0, :2] = True; b[1, 1:3] = True
+    iou = mask_iou(a, b)
+    assert iou.shape == (1, 2)
+    assert iou[0, 0] == 1.0
+    np.testing.assert_allclose(iou[0, 1], 4 / 12)
+
+
+def test_reference_aliases():
+    from tpupose.metrics import OKSAP
+
+    assert PMet is OKSAP and CMet is ClassifyMet

@@ -84,6 +84,10 @@ class Builder:
                 kpt_weight=self.cfg.loss.kpt_weight,
                 vis_weight=self.cfg.loss.vis_weight,
             )
+        if name == "coord_mse":
+            from tpupose.losses.heatmap import coord_mse_loss
+
+            return coord_mse_loss
         if name == "v8_pose":
             from tpupose.losses.v8 import v8PoseLoss
 

@@ -26,7 +26,7 @@ from tpupose.engine.builder import Builder
 from tpupose.engine.checkpoint import CheckpointManager
 from tpupose.engine.train_state import (
     create_train_state, make_heatmap_eval_step, make_heatmap_train_step,
-    make_yolo_train_step,
+    make_regression_train_step, make_yolo_train_step,
 )
 from tpupose.ops.heatmap import gaussian_heatmaps
 from tpupose.utils.logging import printM, printS, printT
@@ -65,10 +65,17 @@ class Trainer:
         # replicate state across the mesh
         self.state = self.mesh_mgr.replicate(self.state)
 
-        self.family = ("yolo" if cfg.loss.name in ("pose_compute", "v8_pose")
-                       else "heatmap")
+        if cfg.loss.name in ("pose_compute", "v8_pose"):
+            self.family = "yolo"
+        elif cfg.loss.name == "coord_mse":
+            self.family = "regression"
+        else:
+            self.family = "heatmap"
         self.loss_fn = self.builder.loss(self.model)
-        if self.family == "yolo":
+        if self.family == "regression":
+            self.train_step = make_regression_train_step(self.loss_fn)
+            self.eval_step = make_heatmap_eval_step()  # plain forward
+        elif self.family == "yolo":
             self.train_step = make_yolo_train_step(self.loss_fn)
 
             def _val_step(state, batch):
@@ -123,6 +130,14 @@ class Trainer:
             return self.mesh_mgr.shard_batch(
                 {k: batch[k] for k in
                  ("images", "boxes", "classes", "keypoints", "instance_mask")})
+        if self.family == "regression":
+            Hh, Wh = self.cfg.model.heatmap_size
+            dev = self.mesh_mgr.shard_batch(
+                {"images": batch["images"], "joints": batch["joints"],
+                 "visibility": batch["visibility"]})
+            coords = dev["joints"] / jnp.array([Wh, Hh], jnp.float32)
+            return {"images": dev["images"], "target_coords": coords,
+                    "visibility": dev["visibility"]}
         hm_size = tuple(self.cfg.model.heatmap_size)
         dev = self.mesh_mgr.shard_batch(
             {"images": batch["images"], "joints": batch["joints"],
@@ -172,6 +187,10 @@ class Trainer:
             db = self._prepare_batch(batch)
             if self.family == "yolo":
                 loss = self.val_step(self.state, db)
+            elif self.family == "regression":
+                preds = self.eval_step(self.state, db["images"])
+                loss = self.loss_fn(preds, db["target_coords"],
+                                    db["visibility"])
             else:
                 preds = self.eval_step(self.state, db["images"])
                 loss = self.loss_fn(preds, db["target"], db["target_weight"])

@@ -30,3 +30,19 @@ def joints_mse_loss(pred, target, target_weight=None, use_target_weight=True):
         per_px = pred.size / (pred.shape[0] * K)
         return 0.5 * jnp.sum(se) / (denom * per_px)
     return 0.5 * jnp.mean((pred - target) ** 2)
+
+
+def coord_mse_loss(pred, target, visibility=None):
+    """Direct coordinate-regression loss (the DeepPose objective,
+    reference: HPE/models/reference/bottom_up/regression — MSE on
+    normalized joint coordinates, visibility-masked).
+
+    pred/target: (B, K, 2) in normalized [0, 1] coords; visibility: (B, K).
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    se = jnp.sum((pred - target) ** 2, axis=-1)  # (B, K)
+    if visibility is not None:
+        m = (visibility > 0).astype(jnp.float32)
+        return jnp.sum(se * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.mean(se)
