@@ -88,6 +88,7 @@ class EvalConfig:
     iou_threshold: float = 0.45
     max_detections: int = 100
     interval: int = 1
+    run_metrics: bool = False           # PCK/MPJPE eval each interval (heatmap)
 
 
 @dataclass

@@ -254,6 +254,8 @@ class Trainer:
             if (epoch + 1) % self.cfg.eval.interval == 0:
                 val_loss = self.validate()
                 printM(f"epoch {epoch}: val_loss={val_loss:.5f}")
+                if self.family == "heatmap" and self.cfg.eval.run_metrics:
+                    self.evaluate()
             self.ckpt.save(int(self.state.step), self.state, metric=train_loss)
         self.ckpt.save(int(self.state.step), self.state, force=True)
         printS("training complete")
