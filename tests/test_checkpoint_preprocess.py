@@ -1,0 +1,68 @@
+"""CheckpointManager best-tracking policy + preprocess ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def _tiny_state():
+    import flax.linen as nn
+
+    from tpupose.engine.train_state import create_train_state
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return nn.Dense(2, dtype=jnp.float32)(x)
+
+    return create_train_state(Net(), jax.random.PRNGKey(0),
+                              jnp.zeros((1, 3)), optax.sgd(0.1))
+
+
+def test_checkpoint_best_tracking_and_resume(tmp_path):
+    from tpupose.engine.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), interval=100)
+    s = _tiny_state()
+    # interval 100 -> periodic saves suppressed; best-by-metric still saves
+    mgr.save(1, s, metric=5.0)
+    assert mgr.best_step == 1
+    s2 = s.replace(step=jnp.asarray(2, jnp.int32))
+    mgr.save(2, s2, metric=7.0)          # worse: not best
+    assert mgr.best_step == 1
+    s3 = s.replace(step=jnp.asarray(3, jnp.int32))
+    mgr.save(3, s3, metric=1.0)          # better
+    assert mgr.best_step == 3 and mgr.best_metric == 1.0
+    restored, step = mgr.restore(_tiny_state())
+    assert step == 3
+    mgr.close()
+
+
+def test_normalize_images_paths():
+    from tpupose.ops.preprocess import IMAGENET_MEAN, normalize_images
+
+    img = np.full((1, 2, 2, 3), 255, np.uint8)
+    # scale_only: /255 -> 1.0
+    out = normalize_images(jnp.asarray(img), scale_only=True,
+                           dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+    # imagenet: (1 - mean) / std
+    out2 = np.asarray(normalize_images(jnp.asarray(img), dtype=jnp.float32))
+    np.testing.assert_allclose(out2[0, 0, 0, 0],
+                               (1 - 0.485) / 0.229, atol=1e-5)
+
+
+def test_color_jitter_bounded_and_random():
+    from tpupose.ops.preprocess import color_jitter
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(0.2, 0.8, (4, 8, 8, 3)), jnp.float32)
+    a = color_jitter(x, jax.random.PRNGKey(0), 0.2)
+    b = color_jitter(x, jax.random.PRNGKey(1), 0.2)
+    assert a.shape == x.shape
+    assert float(jnp.min(a)) >= 0.0 and float(jnp.max(a)) <= 1.0
+    assert not np.allclose(np.asarray(a), np.asarray(b))  # key-dependent
+    # zero strength = identity up to clip
+    c = color_jitter(x, jax.random.PRNGKey(0), 0.0)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(x), atol=1e-6)
