@@ -34,8 +34,36 @@ def test_checkpoint_best_tracking_and_resume(tmp_path):
     s3 = s.replace(step=jnp.asarray(3, jnp.int32))
     mgr.save(3, s3, metric=1.0)          # better
     assert mgr.best_step == 3 and mgr.best_metric == 1.0
-    restored, step = mgr.restore(_tiny_state())
+    restored, step = mgr.restore(_tiny_state(), best=True)
     assert step == 3
+    # periodic GC must never delete the best slot (ADVICE r1): flood with
+    # periodic saves beyond max_to_keep, best must survive
+    for i in range(4, 12):
+        mgr.save(i, s.replace(step=jnp.asarray(i, jnp.int32)), force=True)
+    restored, step = mgr.restore(_tiny_state(), best=True)
+    assert step == 3
+    restored, step = mgr.restore(_tiny_state())   # latest periodic
+    assert step == 11
+    mgr.close()
+    # best metric/step survive restarts via the metadata file
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), interval=100)
+    assert mgr2.best_step == 3 and mgr2.best_metric == 1.0
+    mgr2.save(12, s, metric=2.0)         # worse than restored best: no-op
+    assert mgr2.best_step == 3
+    mgr2.close()
+
+
+def test_checkpoint_epoch_gating(tmp_path):
+    """ckpt_interval is in epochs: with interval=2, only epochs 1, 3, ...
+    produce periodic saves regardless of the global step value."""
+    from tpupose.engine.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), interval=2)
+    s = _tiny_state()
+    mgr.save(17, s, epoch=0)             # (0+1) % 2 != 0 -> skipped
+    assert mgr.latest_step() is None
+    mgr.save(34, s.replace(step=jnp.asarray(34, jnp.int32)), epoch=1)
+    assert mgr.latest_step() == 34
     mgr.close()
 
 

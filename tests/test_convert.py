@@ -91,8 +91,11 @@ def _fake_resnet_sd(stage_sizes=(2, 2), bottleneck=False, width=4):
     def bn(name, c):
         sd[name + ".weight"] = torch.ones(c)
         sd[name + ".bias"] = torch.zeros(c)
-        sd[name + ".running_mean"] = torch.zeros(c)
-        sd[name + ".running_var"] = torch.ones(c)
+        # non-trivial running stats so tests can detect dropped batch_stats
+        sd[name + ".running_mean"] = torch.from_numpy(
+            rng.randn(c).astype(np.float32) * 0.05)
+        sd[name + ".running_var"] = torch.from_numpy(
+            1.0 + rng.rand(c).astype(np.float32) * 0.1)
 
     conv("conv1", 64, 3, 7)
     bn("bn1", 64)
@@ -182,3 +185,21 @@ def test_convert_convnext_tree_loads():
     assert shapes(ref["params"]) == shapes(tree["params"])
     feats = m.apply({"params": tree["params"]}, x, train=False)
     assert np.isfinite(np.asarray(feats[-1])).all()
+
+
+def test_deconv_parity():
+    """torch ConvTranspose2d(k=4, s=2, p=1) — the MSRA SimpleBaseline deconv
+    — must match flax ConvTranspose with the converted (180-degree-rotated)
+    kernel (the HeatmapHead configuration, tpupose/models/heads.py:32)."""
+    from tpupose.utils.convert import deconv_kernel
+
+    tc = torch.nn.ConvTranspose2d(6, 4, 4, stride=2, padding=1, bias=False)
+    x = np.random.RandomState(4).randn(2, 5, 7, 6).astype(np.float32)
+    with torch.no_grad():
+        want = tc(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    fc = nn.ConvTranspose(4, (4, 4), strides=(2, 2), padding="SAME",
+                          use_bias=False, dtype=jnp.float32)
+    got = fc.apply({"params": {"kernel": deconv_kernel(tc.weight)}},
+                   jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=1e-5)

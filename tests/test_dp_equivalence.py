@@ -6,6 +6,7 @@ and BatchNorm statistics are global-batch (sync-BN) in both cases."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -13,6 +14,8 @@ from tpupose.engine.train_state import create_train_state, make_heatmap_train_st
 from tpupose.losses.heatmap import joints_mse_loss
 from tpupose.models.simple_baseline import SimpleBaseline
 from tpupose.parallel.mesh import create_mesh
+
+pytestmark = pytest.mark.slow
 
 
 def _setup():

@@ -6,6 +6,8 @@ import pytest
 
 from tpupose.configs.default import default_config
 
+pytestmark = pytest.mark.slow
+
 
 def test_fcmae_trainer_two_epochs(tmp_path):
     from tpupose.engine.episodic_trainer import MAETrainer

@@ -39,12 +39,17 @@ def test_load_pretrained_roundtrip(tmp_path):
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     params = dict(v["params"])
     before = np.asarray(params["ResNet_0"]["Conv_0"]["kernel"]).copy()
-    merged = load_pretrained(params, str(pth), "resnet18")
+    bs_before = np.asarray(
+        v["batch_stats"]["ResNet_0"]["BatchNorm_0"]["mean"]).copy()
+    merged, merged_bs = load_pretrained(params, str(pth), "resnet18",
+                                        batch_stats=dict(v["batch_stats"]))
     after = np.asarray(merged["ResNet_0"]["Conv_0"]["kernel"])
     assert not np.allclose(before, after)
+    # BN running stats must come from the checkpoint, not random init
+    bs_after = np.asarray(merged_bs["ResNet_0"]["BatchNorm_0"]["mean"])
+    assert not np.allclose(bs_before, bs_after)
     # merged tree still applies
-    out = m.apply({"params": merged,
-                   "batch_stats": v["batch_stats"]},
+    out = m.apply({"params": merged, "batch_stats": merged_bs},
                   jnp.zeros((1, 64, 64, 3)), train=False)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -53,5 +58,5 @@ def test_load_pretrained_missing_file_keeps_params():
     from tpupose.models.pretrained import load_pretrained
 
     params = {"ResNet_0": {"Conv_0": {"kernel": np.ones((1, 1, 3, 4))}}}
-    out = load_pretrained(params, "/nonexistent.pth", "resnet18")
-    assert out is params
+    out, bs = load_pretrained(params, "/nonexistent.pth", "resnet18")
+    assert out is params and bs == {}

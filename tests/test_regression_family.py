@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpupose.configs.default import default_config
 from tpupose.losses.heatmap import coord_mse_loss
@@ -19,6 +20,7 @@ def test_coord_mse_hand_computed():
                                1.125, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_deeppose_trainer_loss_decreases(tmp_path):
     from tpupose.engine.trainer import Trainer
 

@@ -7,6 +7,8 @@ import pytest
 
 from tpupose.configs.default import default_config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_cfg(tmp_path_factory):

@@ -88,7 +88,9 @@ class EvalConfig:
     iou_threshold: float = 0.45
     max_detections: int = 100
     interval: int = 1
-    run_metrics: bool = False           # PCK/MPJPE eval each interval (heatmap)
+    run_metrics: bool = False           # metric eval each interval (heatmap)
+    # metric set for Trainer.evaluate / --test: names from tpupose.metrics
+    metrics: tuple = ("pck", "mpjpe", "oks_ap")
 
 
 @dataclass

@@ -54,6 +54,7 @@ class CocoTopDownDataset:
             x, y, w, h = ann["bbox"]
             self.samples.append({
                 "file_name": im["file_name"],
+                "image_id": int(ann["image_id"]),
                 "width": im["width"], "height": im["height"],
                 "bbox": np.array([x, y, w, h], np.float32),
                 "joints": kpts[:, :2].copy(),
@@ -160,6 +161,7 @@ class CocoTopDownDataset:
 
         return {
             "image": crop,                      # (H, W, 3) uint8 crop
+            "image_id": np.int64(s["image_id"]),
             "center": center, "scale": scale, "rotation": np.float32(rot),
             "joints": joints_hm.astype(np.float32),   # heatmap coords
             "joints_src": joints_src.astype(np.float32),

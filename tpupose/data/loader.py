@@ -9,8 +9,6 @@ prefetch queue so host IO overlaps the compiled step (SURVEY.md §7 step 8).
 from __future__ import annotations
 
 import collections
-import queue
-import threading
 
 import numpy as np
 
@@ -23,13 +21,18 @@ class BatchLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 drop_last: bool = True, seed: int = 0, num_workers: int = 0):
+                 drop_last: bool = True, seed: int = 0, num_workers: int = 0,
+                 pad_last: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = np.random.RandomState(seed)
         self.num_workers = num_workers
+        # pad_last: repeat the last sample to fill the tail batch and mark
+        # real rows in a `pad_mask` — every batch then has the same static
+        # shape, so the jitted eval program compiles exactly once
+        self.pad_last = pad_last
 
     def __len__(self):
         n = len(self.dataset)
@@ -46,6 +49,20 @@ class BatchLoader:
             out["images"] = out.pop("image")
         return out
 
+    def _make_batch(self, idx, b):
+        sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+        pad = 0
+        if self.pad_last and len(sel) < self.batch_size:
+            pad = self.batch_size - len(sel)
+            sel = np.concatenate([sel, np.repeat(sel[-1:], pad)])
+        batch = self._collate([self.dataset[int(i)] for i in sel])
+        if self.pad_last:
+            mask = np.ones(len(sel), bool)
+            if pad:
+                mask[-pad:] = False
+            batch["pad_mask"] = mask
+        return batch
+
     def __iter__(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
@@ -55,25 +72,28 @@ class BatchLoader:
             yield from self._threaded_iter(idx, nb)
             return
         for b in range(nb):
-            sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-            yield self._collate([self.dataset[int(i)] for i in sel])
+            yield self._make_batch(idx, b)
 
     def _threaded_iter(self, idx, nb):
-        q: queue.Queue = queue.Queue(maxsize=max(2, self.num_workers))
+        """Parallel collation: `num_workers` threads each build whole
+        batches (JPEG decode in the native path releases the GIL, so
+        workers overlap); batches are re-ordered and yielded in sequence
+        so epoch order stays deterministic."""
+        from concurrent.futures import ThreadPoolExecutor
 
-        def worker():
+        depth = max(2, self.num_workers)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = {}
+            submitted = 0
+            for b in range(min(depth, nb)):
+                pending[b] = pool.submit(self._make_batch, idx, b)
+                submitted += 1
             for b in range(nb):
-                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                q.put(self._collate([self.dataset[int(i)] for i in sel]))
-            q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+                yield pending.pop(b).result()
+                if submitted < nb:
+                    pending[submitted] = pool.submit(self._make_batch, idx,
+                                                     submitted)
+                    submitted += 1
 
 
 def prefetch_to_device(iterator, mesh=None, depth: int = 2):

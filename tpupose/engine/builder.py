@@ -171,6 +171,9 @@ class Builder:
 
         bs = self.cfg.train.batch_size if split == "train" else self.cfg.eval.batch_size
         bs = min(bs, len(dataset)) if len(dataset) else bs
+        # eval: keep every sample but pad the tail batch to a static shape
+        # (one XLA compile of the eval program, no tail retrace)
         return BatchLoader(dataset, batch_size=bs, shuffle=(split == "train"),
                            drop_last=(split == "train"), seed=self.cfg.train.seed,
-                           num_workers=self.cfg.data.num_workers)
+                           num_workers=self.cfg.data.num_workers,
+                           pad_last=(split != "train"))

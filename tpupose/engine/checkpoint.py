@@ -4,12 +4,20 @@ Capability parity with the reference's three checkpoint flavors
 (SURVEY.md §5.4; pose/pose/engine/trainer.py:124-133 periodic+best
 model-only; HPE/engine/trainer.py:40-57 {epoch, model, optimizer}):
 here every checkpoint carries {params, batch_stats, opt_state, step} so
-resume is always exact, and `best.ckpt`-equivalent tracking is built in.
-Orbax handles multi-host coordination (only one writer per shard).
+resume is always exact, and `best.pt`-equivalent tracking is durable: the
+best checkpoint lives in its own single-slot manager (directory/best) so
+the periodic max_to_keep GC can never delete it, and the best metric/step
+survive restarts via a small metadata file. Orbax handles multi-host
+coordination (only one writer per shard).
+
+`interval` is in EPOCHS (matching cfg.train.ckpt_interval's documentation):
+callers pass the epoch index to save(); gating on the raw global step is
+only a fallback for epoch-less callers.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -26,12 +34,25 @@ class CheckpointManager:
         self.interval = max(int(interval), 1)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
-            best_fn=None,
             create=True,
         )
-        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(self.directory, "periodic"), options=options)
+        # single-slot best manager: immune to periodic GC
+        self._best_mgr = ocp.CheckpointManager(
+            os.path.join(self.directory, "best"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True))
+        self._meta_path = os.path.join(self.directory, "best_meta.json")
         self.best_metric = float("inf")
         self.best_step = -1
+        if os.path.exists(self._meta_path):
+            try:
+                with open(self._meta_path) as f:
+                    meta = json.load(f)
+                self.best_metric = float(meta.get("metric", float("inf")))
+                self.best_step = int(meta.get("step", -1))
+            except (ValueError, OSError):
+                pass
 
     @staticmethod
     def _state_tree(state) -> dict:
@@ -42,33 +63,48 @@ class CheckpointManager:
             "opt_state": state.opt_state,
         }
 
-    def save(self, step: int, state, metric: Optional[float] = None, force: bool = False):
-        """Periodic save; tracks best-by-metric (lower is better, matching
-        the reference's best-by-train-loss policy)."""
+    def save(self, step: int, state, metric: Optional[float] = None,
+             force: bool = False, epoch: Optional[int] = None):
+        """Periodic save gated on the epoch index (cfg ckpt_interval is in
+        epochs); tracks best-by-metric (lower is better, matching the
+        reference's best-by-train-loss policy) in a durable separate slot."""
         is_best = metric is not None and metric < self.best_metric
         if is_best:
-            self.best_metric = metric
+            self.best_metric = float(metric)
             self.best_step = step
-        if force or is_best or (step % self.interval == 0):
+            self._best_mgr.save(
+                step, args=ocp.args.StandardSave(self._state_tree(state)))
+            self._best_mgr.wait_until_finished()
+            if jax.process_index() == 0:
+                with open(self._meta_path, "w") as f:
+                    json.dump({"metric": self.best_metric,
+                               "step": self.best_step}, f)
+            printT(f"best checkpoint saved @ step {step} "
+                   f"(metric {self.best_metric:.5f})")
+        periodic_due = ((epoch + 1) % self.interval == 0 if epoch is not None
+                        else step % self.interval == 0)
+        if force or periodic_due:
             self._mgr.save(step, args=ocp.args.StandardSave(self._state_tree(state)))
             self._mgr.wait_until_finished()
-            printT(f"checkpoint saved @ step {step}" + (" (best)" if is_best else ""))
+            printT(f"checkpoint saved @ step {step}")
 
-    def restore(self, state, step: Optional[int] = None):
-        """Restore into the shape/sharding of `state` (abstract target)."""
-        step = step if step is not None else self._mgr.latest_step()
+    def restore(self, state, step: Optional[int] = None, best: bool = False):
+        """Restore into the shape/sharding of `state` (abstract target).
+        best=True restores the durable best checkpoint."""
+        mgr = self._best_mgr if best else self._mgr
+        step = step if step is not None else mgr.latest_step()
         if step is None:
             return state, 0
         target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                         self._state_tree(state))
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
         new_state = state.replace(
             step=restored["step"],
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
         )
-        printS(f"restored checkpoint @ step {step}")
+        printS(f"restored {'best ' if best else ''}checkpoint @ step {step}")
         return new_state, int(step)
 
     def latest_step(self):
@@ -76,3 +112,4 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+        self._best_mgr.close()

@@ -8,7 +8,11 @@ tiny (B, K, 3) results come back to the host for metric accumulation.
 
 The reference never wires its metric objects into the new trainer
 (SURVEY.md §5.5); here the evaluator drives any metric from
-tpupose/metrics via the update()/compute() API.
+tpupose/metrics via the update()/compute() API — including OKSAP, the
+COCO keypoint mAP (reference: HPE/core/metric/oksap.py:135-358): per-crop
+predictions are regrouped by source image id so multi-person images get
+proper greedy matching, each instance scored by its mean keypoint
+confidence.
 """
 
 from __future__ import annotations
@@ -24,6 +28,22 @@ import numpy as np
 COCO_FLIP_PAIRS = np.array([
     (1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14), (15, 16)
 ])
+
+
+def visible_bbox_area(gt, vis):
+    """Fallback OKS area when the dataset carries no annotation area:
+    visible-joint bounding-box area. gt (B, K, 2), vis (B, K) -> (B,)."""
+    v = vis > 0
+    big = 1e9
+    x = np.where(v, gt[..., 0], big)
+    y = np.where(v, gt[..., 1], big)
+    xmin, ymin = x.min(-1), y.min(-1)
+    x = np.where(v, gt[..., 0], -big)
+    y = np.where(v, gt[..., 1], -big)
+    xmax, ymax = x.max(-1), y.max(-1)
+    w = np.maximum(xmax - xmin, 1.0)
+    h = np.maximum(ymax - ymin, 1.0)
+    return np.where(v.any(-1), w * h, 1.0).astype(np.float32)
 
 
 class TopDownEvaluator:
@@ -69,20 +89,61 @@ class TopDownEvaluator:
         src = jax.vmap(back)(coords, centers, scales)
         return src, scores
 
+    def step(self, images, centers, scales):
+        """Run the fused eval program on one batch (uses self.state)."""
+        return self._step(self.state, jnp.asarray(images),
+                          jnp.asarray(centers), jnp.asarray(scales))
+
     def run(self, loader, metrics: Sequence, gt_key: str = "joints_src"):
-        """loader yields dicts with images/center/scale and GT in source
-        coords. Updates each metric; returns their computed dicts merged."""
+        """Drive all metrics over a loader.
+
+        loader yields dicts with images/center/scale, GT joints in source
+        coords under `gt_key`, visibility, and optionally `area`,
+        `image_id`, and a `pad_mask` marking padded tail rows (dropped
+        here). Coordinate metrics (PCK/PCKh/PDJ/PCP/MPJPE) get
+        update(coords, gt, vis); OKSAP gets per-source-image groups of
+        (pred, score, gt, vis, area). Returns the merged scalar results.
+        """
+        from tpupose.metrics.oks_ap import OKSAP
+
+        coord_metrics = [m for m in metrics if not isinstance(m, OKSAP)]
+        ap_metrics = [m for m in metrics if isinstance(m, OKSAP)]
+        groups: dict = {}
+        next_id = 0
         for batch in loader:
-            coords, scores = self._step(
-                self.state, jnp.asarray(batch["images"]),
-                jnp.asarray(batch["center"]), jnp.asarray(batch["scale"]))
+            coords, scores = self.step(batch["images"], batch["center"],
+                                       batch["scale"])
             coords = np.asarray(coords)
-            gt = np.asarray(batch[gt_key])
-            vis = np.asarray(batch["visibility"])
-            for m in metrics:
+            scores = np.asarray(scores)
+            keep = np.asarray(batch["pad_mask"]).astype(bool) \
+                if "pad_mask" in batch else np.ones(len(coords), bool)
+            coords, scores = coords[keep], scores[keep]
+            gt = np.asarray(batch[gt_key])[keep]
+            vis = np.asarray(batch["visibility"])[keep]
+            for m in coord_metrics:
                 m.update(coords, gt, vis)
+            if ap_metrics:
+                area = (np.asarray(batch["area"], np.float32)[keep]
+                        if "area" in batch else visible_bbox_area(gt, vis))
+                if "image_id" in batch:
+                    ids = np.asarray(batch["image_id"]).reshape(-1)[keep]
+                else:
+                    ids = np.arange(next_id, next_id + len(coords))
+                    next_id += len(coords)
+                inst_score = scores.mean(axis=-1)  # mean kpt confidence
+                for i, iid in enumerate(ids):
+                    groups.setdefault(int(iid), []).append(
+                        (coords[i], inst_score[i], gt[i], vis[i], area[i]))
+        for items in groups.values():
+            pk = np.stack([it[0] for it in items])
+            ps = np.asarray([it[1] for it in items], np.float32)
+            gk = np.stack([it[2] for it in items])
+            gv = np.stack([it[3] for it in items])
+            ga = np.asarray([it[4] for it in items], np.float32)
+            for m in ap_metrics:
+                m.update(pk, ps, gk, gv, ga)
         out = {}
         for m in metrics:
-            out.update({k: v for k, v in m.compute().items()
+            out.update({k: float(v) for k, v in m.compute().items()
                         if np.isscalar(v) or isinstance(v, float)})
         return out

@@ -29,7 +29,7 @@ from tpupose.engine.train_state import (
     make_regression_train_step, make_yolo_train_step,
 )
 from tpupose.ops.heatmap import gaussian_heatmaps
-from tpupose.utils.logging import printM, printS, printT
+from tpupose.utils.logging import FileLogger, printM, printS, printT
 from tpupose.utils.meters import MetricDict
 from tpupose.utils.seed import set_seed
 
@@ -59,9 +59,12 @@ class Trainer:
         if cfg.model.pretrained:
             from tpupose.models.pretrained import load_pretrained
 
-            self.state = self.state.replace(params=load_pretrained(
+            params, batch_stats = load_pretrained(
                 dict(self.state.params), cfg.model.pretrained,
-                cfg.model.backbone))
+                cfg.model.backbone,
+                batch_stats=dict(self.state.batch_stats))
+            self.state = self.state.replace(params=params,
+                                            batch_stats=batch_stats)
         # replicate state across the mesh
         self.state = self.mesh_mgr.replicate(self.state)
 
@@ -95,8 +98,10 @@ class Trainer:
             self.train_step = make_heatmap_train_step(self.loss_fn)
             self.eval_step = make_heatmap_eval_step()
 
-        ckpt_dir = os.path.join(cfg.train.output_dir, cfg.train.experiment, "ckpt")
-        self.ckpt = CheckpointManager(ckpt_dir, interval=cfg.train.ckpt_interval)
+        exp_dir = os.path.join(cfg.train.output_dir, cfg.train.experiment)
+        self.file_log = FileLogger(os.path.join(exp_dir, "log.txt"))
+        self.ckpt = CheckpointManager(os.path.join(exp_dir, "ckpt"),
+                                      interval=cfg.train.ckpt_interval)
         if cfg.model.checkpoint:
             self.load_checkpoint(cfg.model.checkpoint)
 
@@ -177,6 +182,7 @@ class Trainer:
         dt = time.perf_counter() - t0
         ips = n_img / max(dt, 1e-9)
         printM(f"epoch {epoch}: {meters.format()} ({ips:.1f} img/s)")
+        self.file_log.log(f"epoch {epoch}: {meters.format()} ({ips:.1f} img/s)")
         return meters["loss"].avg if "loss" in meters._meters else float("inf")
 
     def validate(self) -> float:
@@ -203,46 +209,75 @@ class Trainer:
             return float("nan")
         return total / n
 
+    def _build_eval_metrics(self):
+        """Metric objects from cfg.eval.metrics (the reference metric
+        registry analog, HPE/core/metric/__init__.py:1-18 — with OKS-AP,
+        the COCO keypoint mAP, actually wired in)."""
+        K = self.cfg.model.num_keypoints
+        out = []
+        for name in self.cfg.eval.metrics:
+            if name == "pck":
+                from tpupose.metrics.pck import PCK
+
+                out.append(PCK(alpha=0.2))
+            elif name == "pckh":
+                from tpupose.metrics.pckh import PCKh
+
+                out.append(PCKh())
+            elif name == "mpjpe":
+                from tpupose.metrics.mpjpe import MPJPE
+
+                out.append(MPJPE())
+            elif name == "oks_ap":
+                from tpupose.metrics.oks_ap import OKSAP
+
+                out.append(OKSAP(num_classes=1))
+            else:
+                raise ValueError(f"unknown eval metric {name!r}")
+        return out
+
+    def _get_evaluator(self):
+        """Build the jitted evaluator once; refresh its state per call."""
+        if getattr(self, "_evaluator", None) is None:
+            from tpupose.engine.evaluator import TopDownEvaluator
+
+            self._evaluator = TopDownEvaluator(
+                self.state, tuple(self.cfg.model.heatmap_size),
+                decode=self.cfg.eval.decode,
+                flip_test=self.cfg.eval.flip_test,
+                flip_pairs=(np.zeros((0, 2), np.int64)
+                            if self.cfg.model.num_keypoints != 17 else None),
+                blur_kernel=self.cfg.eval.blur_kernel,
+                sigma=self.cfg.data.sigma)
+        self._evaluator.state = self.state
+        return self._evaluator
+
+    def _eval_batches(self):
+        """Wrap the valid loader so every batch carries GT joints in source
+        coords (synthetic sets store joints in heatmap coords only)."""
+        from tpupose.ops.affine import transform_preds
+
+        hm_size = tuple(self.cfg.model.heatmap_size)
+        project = jax.jit(jax.vmap(
+            lambda c, ct, sc: transform_preds(c, ct, sc, hm_size)))
+        for batch in self.valid_loader:
+            if "joints_src" not in batch:
+                batch = dict(batch)
+                batch["joints_src"] = np.asarray(project(
+                    jnp.asarray(batch["joints"]),
+                    jnp.asarray(batch["center"]),
+                    jnp.asarray(batch["scale"])))
+            yield batch
+
     def evaluate(self) -> dict:
         """Metric evaluation for the heatmap family: flip-test + DARK +
-        back-projection + PCK/MPJPE over the valid set (the reference only
-        ever wires loss, SURVEY.md §5.5 — this runs the real metrics)."""
+        back-projection + PCK/MPJPE/OKS-AP over the valid set (the
+        reference only ever wires loss, SURVEY.md §5.5 — this runs the
+        real metric library, including COCO keypoint mAP)."""
         if self.family != "heatmap":
             return {"val_loss": self.validate()}
-        from tpupose.engine.evaluator import TopDownEvaluator
-        from tpupose.metrics.mpjpe import MPJPE
-        from tpupose.metrics.pck import PCK
-
-        ev = TopDownEvaluator(
-            self.state, tuple(self.cfg.model.heatmap_size),
-            decode=self.cfg.eval.decode,
-            flip_test=self.cfg.eval.flip_test,
-            flip_pairs=(np.zeros((0, 2), np.int64)
-                        if self.cfg.model.num_keypoints != 17 else None),
-            blur_kernel=self.cfg.eval.blur_kernel,
-            sigma=self.cfg.data.sigma)
-        pck, mpjpe = PCK(alpha=0.2), MPJPE()
-        import jax.numpy as jnp_
-
-        for batch in self.valid_loader:
-            coords, scores = ev._step(
-                self.state, jnp_.asarray(batch["images"]),
-                jnp_.asarray(batch["center"]), jnp_.asarray(batch["scale"]))
-            if "joints_src" in batch:
-                gt = np.asarray(batch["joints_src"])
-            else:
-                # synthetic sets store joints in heatmap coords; project
-                from tpupose.ops.affine import transform_preds
-
-                gt = np.asarray(jax.vmap(
-                    lambda c, ct, sc: transform_preds(
-                        c, ct, sc, tuple(self.cfg.model.heatmap_size)))(
-                    jnp_.asarray(batch["joints"]),
-                    jnp_.asarray(batch["center"]),
-                    jnp_.asarray(batch["scale"])))
-            pck.update(np.asarray(coords), gt, batch["visibility"])
-            mpjpe.update(np.asarray(coords), gt, batch["visibility"])
-        out = {"pck@0.2": pck.compute()["pck"], **mpjpe.compute()}
+        ev = self._get_evaluator()
+        out = ev.run(self._eval_batches(), self._build_eval_metrics())
         printM("eval: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
         return out
 
@@ -254,9 +289,14 @@ class Trainer:
             if (epoch + 1) % self.cfg.eval.interval == 0:
                 val_loss = self.validate()
                 printM(f"epoch {epoch}: val_loss={val_loss:.5f}")
+                self.file_log.log(f"epoch {epoch}: val_loss={val_loss:.5f}")
                 if self.family == "heatmap" and self.cfg.eval.run_metrics:
-                    self.evaluate()
-            self.ckpt.save(int(self.state.step), self.state, metric=train_loss)
+                    metrics = self.evaluate()
+                    self.file_log.log(
+                        f"epoch {epoch}: "
+                        + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+            self.ckpt.save(int(self.state.step), self.state, metric=train_loss,
+                           epoch=epoch)
         self.ckpt.save(int(self.state.step), self.state, force=True)
         printS("training complete")
 

@@ -67,16 +67,21 @@ def convert_checkpoint(pth_path: str, backbone: str) -> dict:
 
 
 def load_pretrained(params: dict, pth_path: str, backbone: str,
-                    subtree: str | None = None) -> dict:
-    """Merge converted backbone weights into a model's param tree.
+                    subtree: str | None = None, batch_stats: dict | None = None):
+    """Merge converted backbone weights into a model's variable trees.
 
     subtree: the param key holding the backbone (e.g. 'ConvNeXt_0',
     'ResNet_0', 'DinoViT_0'); auto-detected when None.
+
+    Returns (params, batch_stats): BN running statistics from the converted
+    checkpoint (e.g. convert_resnet's batch_stats subtree) are merged into
+    `batch_stats` so pretrained backbones don't run on random-init BN stats.
     """
+    batch_stats = dict(batch_stats) if batch_stats else {}
     if not os.path.exists(pth_path):
         printW(f"pretrained checkpoint not found: {pth_path}; "
                "keeping random init")
-        return params
+        return params, batch_stats
     tree = convert_checkpoint(pth_path, backbone)
     bb_params = tree["params"] if "params" in tree else tree
     if subtree is None:
@@ -88,5 +93,7 @@ def load_pretrained(params: dict, pth_path: str, backbone: str,
         subtree = candidates[0]
     merged = dict(params)
     merged[subtree] = bb_params
+    if tree.get("batch_stats"):
+        batch_stats[subtree] = tree["batch_stats"]
     printS(f"loaded pretrained backbone from {pth_path} into {subtree}")
-    return merged
+    return merged, batch_stats

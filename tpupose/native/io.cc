@@ -46,22 +46,26 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst,
     float fy = (y + 0.5f) * sy - 0.5f;
     int y0 = fy < 0 ? 0 : static_cast<int>(fy);
     if (y0 > sh - 2) y0 = sh - 2;
+    if (y0 < 0) y0 = 0;  // 1-pixel-tall sources: sh-2 is -1
     float wy = fy - y0;
     if (wy < 0) wy = 0;
+    const int y1 = y0 + 1 <= sh - 1 ? y0 + 1 : y0;  // second tap in-bounds
     const uint8_t* r0 = src + static_cast<size_t>(y0) * sw * 3;
-    const uint8_t* r1 = r0 + static_cast<size_t>(sw) * 3;
+    const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
     uint8_t* out = dst + static_cast<size_t>(y) * dw * 3;
     for (int x = 0; x < dw; ++x) {
       float fx = (x + 0.5f) * sx - 0.5f;
       int x0 = fx < 0 ? 0 : static_cast<int>(fx);
       if (x0 > sw - 2) x0 = sw - 2;
+      if (x0 < 0) x0 = 0;  // 1-pixel-wide sources
       float wx = fx - x0;
       if (wx < 0) wx = 0;
+      const int x1 = x0 + 1 <= sw - 1 ? x0 + 1 : x0;
       const float w00 = (1 - wy) * (1 - wx), w01 = (1 - wy) * wx;
       const float w10 = wy * (1 - wx), w11 = wy * wx;
       for (int c = 0; c < 3; ++c) {
-        float v = w00 * r0[x0 * 3 + c] + w01 * r0[(x0 + 1) * 3 + c] +
-                  w10 * r1[x0 * 3 + c] + w11 * r1[(x0 + 1) * 3 + c];
+        float v = w00 * r0[x0 * 3 + c] + w01 * r0[x1 * 3 + c] +
+                  w10 * r1[x0 * 3 + c] + w11 * r1[x1 * 3 + c];
         out[x * 3 + c] = static_cast<uint8_t>(v + 0.5f);
       }
     }

@@ -39,8 +39,15 @@ def dwconv_kernel(w) -> np.ndarray:
 
 def deconv_kernel(w) -> np.ndarray:
     """torch ConvTranspose2d weight (I, O, kh, kw) -> flax ConvTranspose
-    (kh, kw, I, O)."""
-    return np.transpose(t2n(w), (2, 3, 0, 1))
+    kernel (kh, kw, I, O).
+
+    torch's transposed conv is the gradient of a correlation (implicitly
+    flipped); flax ConvTranspose(transpose_kernel=False) runs a
+    fractionally-strided correlation with the kernel as-is — so the spatial
+    dims must be rotated 180 degrees for numerical parity
+    (tests/test_convert.py::test_deconv_parity).
+    """
+    return np.transpose(t2n(w), (2, 3, 0, 1))[::-1, ::-1].copy()
 
 
 def linear_kernel(w) -> np.ndarray:
@@ -193,10 +200,22 @@ def convert_vit(sd: Mapping, depth: int):
 
 
 def load_pth(path: str) -> dict:
-    """Load a torch .pth/.pt checkpoint into a flat numpy state dict."""
+    """Load a torch .pth/.pt checkpoint into a flat numpy state dict.
+
+    Tries weights_only=True first (no arbitrary-code-execution surface);
+    falls back to a full unpickle with an explicit warning for legacy
+    checkpoints that store non-tensor objects.
+    """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        from tpupose.utils.logging import printW
+
+        printW(f"{path}: not loadable with weights_only=True; falling back "
+               "to full unpickle — only do this for trusted checkpoints")
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
     if isinstance(obj, dict) and "state_dict" in obj:

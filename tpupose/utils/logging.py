@@ -120,3 +120,23 @@ def time_check(fn):
         return out
 
     return wrapper
+
+
+class FileLogger:
+    """Append-only persistent training log (the log.txt epoch lines of the
+    reference, HPE/engine/trainer.py:32-38). Master-only, timestamped,
+    flushed per line so tails survive crashes."""
+
+    def __init__(self, path: str):
+        self.path = path
+        if is_master():
+            import os
+
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def log(self, text: str):
+        if not is_master():
+            return
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        with open(self.path, "a") as f:
+            f.write(f"[{stamp}] {text}\n")
