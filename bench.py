@@ -1,28 +1,67 @@
-"""Headline benchmark: SimpleBaseline-R50 256x192 end-to-end inference
-(uint8 in -> forward -> on-device DARK decode -> coords) images/sec on one
-chip. Prints ONE JSON line.
+"""Benchmarks for ALL five graded configs (BASELINE.json:6-12), single
+chip. Prints ONE JSON line: the headline metric (config 1, SimpleBaseline
+R50 256x192 end-to-end inference img/s/chip) plus every other config under
+"extra".
 
-vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
-comparison point is a nominal reference-stack figure of 1000 img/s for a
-PyTorch SimpleBaseline-R50 256x192 fp16 forward+host-decode on one modern
-accelerator (consistent with the timm-style per-device numbers shipped in
-the reference's vendored CSVs). The driver target is >= 5x.
+vs_baseline derivation (BASELINE.md records the method): the reference
+repo publishes no numbers, so the denominator is DERIVED from the
+reference's own vendored timm benchmark CSV
+(HPE/thirdparty/pytorch-image-models/results/benchmark-infer-amp-nchw-
+pt240-cu124-rtx4090.csv: resnet50 @224 AMP = 4217.6 img/s, 4.11 GMACs),
+scaled by the pose model's extra work: R50 @256x192 (4.03 GMACs) + the
+3-deconv MSRA head (~5.6 GMACs) = ~9.6 GMACs -> 4217.6 * 4.11 / 9.6 =
+~1806 img/s for the torch forward on an RTX 4090, EXCLUDING the
+reference's host-side decode (a generous denominator). See BASELINE.md.
+
+Usage: python bench.py [--quick]   (--quick: headline config only)
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-REFERENCE_IPS = 1000.0
-BATCH = 128          # v5e sweet spot for R50 @ 256x192 (measured)
+REFERENCE_IPS = 1806.0   # derived torch-forward figure; see module docstring
 WARMUP = 5
 ITERS = 20
 
 
-def main():
+def _timeit(fn, out_extract=lambda r: r, iters=ITERS, warmup=WARMUP):
+    import jax
+
+    r = fn()
+    jax.block_until_ready(out_extract(r))
+    for _ in range(warmup):
+        r = fn()
+    jax.block_until_ready(out_extract(r))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn()
+    jax.block_until_ready(out_extract(r))
+    return (time.perf_counter() - t0) / iters
+
+
+def _latency_p50(fn, out_extract=lambda r: r, n=10):
+    import jax
+
+    lats = []
+    for _ in range(n):
+        t = time.perf_counter()
+        r = fn()
+        jax.block_until_ready(out_extract(r))
+        lats.append(time.perf_counter() - t)
+    return float(np.median(lats) * 1000)
+
+
+# ---------------------------------------------------------------------------
+# config 1: SimpleBaseline R50 256x192 e2e inference (uint8 -> coords)
+# ---------------------------------------------------------------------------
+
+def bench_r50_infer():
     import jax
     import jax.numpy as jnp
 
@@ -34,46 +73,246 @@ def main():
                            dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     H, W = 256, 192
-    imgs = np.random.randint(0, 256, (BATCH, H, W, 3), np.uint8)
-    variables = model.init(rng, normalize_images(jnp.asarray(imgs)), train=False)
 
-    @jax.jit
-    def step(images):
-        x = normalize_images(images)
-        hm = model.apply(variables, x, train=False)
-        hm = jnp.transpose(hm, (0, 3, 1, 2))
-        return decode_heatmaps(hm, method="dark")
+    out = {}
+    variables = None
+    for batch in (128, 8, 1):
+        imgs = np.random.randint(0, 256, (batch, H, W, 3), np.uint8)
+        if variables is None:
+            variables = model.init(rng, normalize_images(jnp.asarray(imgs)),
+                                   train=False)
 
-    dev_imgs = jax.device_put(jnp.asarray(imgs))
-    coords, scores = step(dev_imgs)
-    jax.block_until_ready(coords)
-    for _ in range(WARMUP):
-        coords, scores = step(dev_imgs)
-    jax.block_until_ready(coords)
+        @jax.jit
+        def step(images):
+            x = normalize_images(images)
+            hm = model.apply(variables, x, train=False)
+            hm = jnp.transpose(hm, (0, 3, 1, 2))
+            return decode_heatmaps(hm, method="dark")
+
+        dev = jax.device_put(jnp.asarray(imgs))
+        dt = _timeit(lambda: step(dev), lambda r: r[0])
+        p50 = _latency_p50(lambda: step(dev), lambda r: r[0])
+        if batch == 128:
+            out["img_per_s"] = round(batch / dt, 2)
+        out[f"p50_ms_b{batch}"] = round(p50, 2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# config 2: R50 256x192 training (JointsMSE + in-step Gaussian targets +
+# on-device color jitter) — device step rate AND JPEG-on-disk pipeline rate
+# ---------------------------------------------------------------------------
+
+def _write_fake_coco(root, n_images=256, img_hw=(480, 640)):
+    import json as _json
+
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "train2017"), exist_ok=True)
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    rng = np.random.RandomState(0)
+    H0, W0 = img_hw
+    images, anns = [], []
+    for i in range(n_images):
+        name = f"{i:012d}.jpg"
+        arr = rng.randint(0, 255, (H0, W0, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(root, "train2017", name),
+                                  quality=90)
+        images.append({"id": i, "file_name": name, "width": W0, "height": H0})
+        x, y, w, h = 100, 60, 300, 380
+        kp = []
+        for k in range(17):
+            kp += [float(x + rng.uniform(0, w)), float(y + rng.uniform(0, h)), 2]
+        anns.append({"id": i, "image_id": i, "category_id": 1,
+                     "bbox": [x, y, w, h], "keypoints": kp,
+                     "num_keypoints": 17, "area": w * h, "iscrowd": 0})
+    with open(os.path.join(root, "annotations",
+                           "person_keypoints_train2017.json"), "w") as f:
+        _json.dump({"images": images, "annotations": anns}, f)
+
+
+def _train_step_rate(model, batch, heatmap_size, jitter=0.2):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpupose.engine.train_state import (create_train_state,
+                                            make_heatmap_train_step)
+    from tpupose.losses.heatmap import joints_mse_loss
+
+    B = batch["images"].shape[0]
+    H, W = batch["images"].shape[1:3]
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(1e-3))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, H, W, 3)), tx)
+    step = make_heatmap_train_step(joints_mse_loss,
+                                   color_jitter_strength=jitter,
+                                   heatmap_size=heatmap_size)
+    import jax as _jax
+
+    dev = _jax.tree_util.tree_map(_jax.device_put, batch)
+
+    holder = {"state": state}
+
+    def one():
+        holder["state"], m = step(holder["state"], dev)
+        return m
+
+    dt = _timeit(one, lambda m: m["loss"])
+    return B / dt
+
+
+def bench_r50_train(tmp="/tmp/bench_coco"):
+    import jax.numpy as jnp
+
+    from tpupose.models.simple_baseline import SimpleBaseline
+
+    B, H, W, K = 128, 256, 192, 17
+    rng = np.random.RandomState(0)
+    model = SimpleBaseline(backbone="resnet50", num_keypoints=K,
+                           dtype=jnp.bfloat16)
+    batch = {
+        "images": rng.randint(0, 255, (B, H, W, 3)).astype(np.uint8),
+        "joints": rng.uniform(2, 40, (B, K, 2)).astype(np.float32),
+        "visibility": np.ones((B, K), np.float32),
+    }
+    out = {"train_img_per_s": round(_train_step_rate(
+        model, batch, heatmap_size=(64, 48)), 2)}
+
+    # input pipeline: JPEG on disk -> decode -> affine crop -> uint8 batch
+    # (host side only; measures whether the feed can keep up with the chip)
+    if not os.path.exists(os.path.join(
+            tmp, "annotations", "person_keypoints_train2017.json")):
+        _write_fake_coco(tmp)
+    from tpupose.data.coco import CocoTopDownDataset
+    from tpupose.data.loader import BatchLoader
+
+    ds = CocoTopDownDataset(
+        image_dir=os.path.join(tmp, "train2017"),
+        ann_file=os.path.join(tmp, "annotations",
+                              "person_keypoints_train2017.json"),
+        image_size=(H, W), heatmap_size=(64, 48), is_train=True)
+    loader = BatchLoader(ds, batch_size=B, shuffle=True, num_workers=8)
+    n, t0 = 0, time.perf_counter()
+    for b in loader:
+        n += b["images"].shape[0]
+    out["pipeline_img_per_s"] = round(n / (time.perf_counter() - t0), 2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# config 3: HRNet-W32 256x192 training
+# ---------------------------------------------------------------------------
+
+def bench_hrnet_w32_train():
+    import jax.numpy as jnp
+
+    from tpupose.models.backbones.hrnet import HRNetPose
+
+    B, H, W, K = 64, 256, 192, 17
+    rng = np.random.RandomState(0)
+    model = HRNetPose(variant="hrnet_w32", num_keypoints=K, dtype=jnp.bfloat16)
+    batch = {
+        "images": rng.randint(0, 255, (B, H, W, 3)).astype(np.uint8),
+        "joints": rng.uniform(2, 40, (B, K, 2)).astype(np.float32),
+        "visibility": np.ones((B, K), np.float32),
+    }
+    return {"train_img_per_s": round(_train_step_rate(
+        model, batch, heatmap_size=(64, 48)), 2)}
+
+
+# ---------------------------------------------------------------------------
+# config 4: HRNet-W48 384x288 eval, flip-test + DARK fused on device
+# ---------------------------------------------------------------------------
+
+def bench_hrnet_w48_eval():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpupose.engine.evaluator import TopDownEvaluator
+    from tpupose.engine.train_state import create_train_state
+    from tpupose.models.backbones.hrnet import HRNetPose
+
+    B, H, W, K = 64, 384, 288, 17
+    model = HRNetPose(variant="hrnet_w48", num_keypoints=K, dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, H, W, 3)), optax.sgd(0.0))
+    ev = TopDownEvaluator(state, (96, 72), decode="dark", flip_test=True)
+    rng = np.random.RandomState(0)
+    imgs = jax.device_put(rng.randint(0, 255, (B, H, W, 3)).astype(np.uint8))
+    centers = jax.device_put(np.tile([[W / 2, H / 2]], (B, 1)).astype(np.float32))
+    scales = jax.device_put(np.tile([[W, H]], (B, 1)).astype(np.float32))
+
+    dt = _timeit(lambda: ev._step(state, imgs, centers, scales),
+                 lambda r: r[0])
+    return {"eval_img_per_s": round(B / dt, 2)}
+
+
+# ---------------------------------------------------------------------------
+# config 5: video pipeline (detect -> pose -> track), per-frame fps
+# ---------------------------------------------------------------------------
+
+def bench_video():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpupose.engine.predictor import YoloPosePredictor
+    from tpupose.engine.tracker import PoseTracker
+    from tpupose.engine.train_state import create_train_state
+    from tpupose.models.dinov3_pose import DINOv3Pose
+
+    H = W = 640
+    K, NC = 4, 7
+    model = DINOv3Pose(backbone="dinov3_convnext_tiny", num_keypoints=K,
+                       num_classes=NC, dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, H, W, 3)), optax.sgd(0.0))
+    pred = YoloPosePredictor(state, num_classes=NC, num_keypoints=K,
+                             conf_threshold=0.01)
+    tracker = PoseTracker()
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (1, H, W, 3)).astype(np.uint8)
+              for _ in range(8)]
+    pred(frames[0])  # compile
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        coords, scores = step(dev_imgs)
-    jax.block_until_ready(coords)
-    dt = time.perf_counter() - t0
+    n = 0
+    for _ in range(4):
+        for f in frames:
+            det = pred(f)
+            v = det["valid"][0]
+            boxes = det["boxes"][0][v]
+            kpts = det["keypoints"][0][v]
+            feats = (kpts[..., :2].reshape(len(boxes), -1) / W
+                     if len(boxes) else np.zeros((0, 2 * K)))
+            tracker.update(boxes, feats, kpts)
+            n += 1
+    return {"video_fps": round(n / (time.perf_counter() - t0), 2)}
 
-    ips = BATCH * ITERS / dt
-    # p50 per-batch latency
-    lats = []
-    for _ in range(10):
-        t = time.perf_counter()
-        c, s = step(dev_imgs)
-        jax.block_until_ready(c)
-        lats.append(time.perf_counter() - t)
-    p50_ms = float(np.median(lats) * 1000)
 
+def main():
+    quick = "--quick" in sys.argv
+    r50 = bench_r50_infer()
+    extra = {"r50_infer": r50}
+    if not quick:
+        for name, fn in (("r50_train", bench_r50_train),
+                         ("hrnet_w32_train", bench_hrnet_w32_train),
+                         ("hrnet_w48_eval", bench_hrnet_w48_eval),
+                         ("video", bench_video)):
+            try:
+                extra[name] = fn()
+            except Exception as e:  # record, never lose the headline line
+                extra[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    ips = r50["img_per_s"]
     print(json.dumps({
         "metric": "simple_baseline_r50_256x192_e2e_infer",
-        "value": round(ips, 2),
+        "value": ips,
         "unit": "img/s/chip",
         "vs_baseline": round(ips / REFERENCE_IPS, 3),
-        "p50_batch_latency_ms": round(p50_ms, 2),
-        "batch": BATCH,
+        "extra": extra,
     }))
 
 

@@ -113,3 +113,69 @@ def test_v8_pose_loss_finite_and_grads_flow():
     g = jax.grad(f)(preds[0])
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_pose_head_v8_variant_matches_loss_layout():
+    """ADVICE r1: the v8_pose loss expects (4*reg_max + nc + K*3) channels
+    and the (2v + anchor - 0.5)*stride kpt decode. The reg_max>0 PoseHead
+    provides exactly that: a train step traces, and its eval decode equals
+    the loss's internal decode on the same raw maps."""
+    from tpupose.models.yolo_head import PoseHead, make_anchors
+
+    nc, rm, K = 2, 4, 3
+    head = PoseHead(num_classes=nc, kpt_shape=(K, 3), strides=(8, 16),
+                    reg_max=rm, dtype=jnp.float32)
+    feats = [jnp.zeros((2, 8, 8, 16)), jnp.zeros((2, 4, 4, 32))]
+    v = head.init(jax.random.PRNGKey(0), feats, train=True)
+    outs, _ = head.apply(v, feats, train=True, mutable=["batch_stats"])
+    C = 4 * rm + nc + 3 * K
+    assert outs[0].shape == (2, 8, 8, C) and outs[1].shape == (2, 4, 4, C)
+
+    # loss consumes those maps directly
+    loss = v8PoseLoss(num_keypoints=K, num_classes=nc, reg_max=rm,
+                      strides=(8, 16))
+    total, parts = jax.jit(loss)(list(outs), _pose_targets(K=K))
+    assert np.isfinite(float(total))
+    assert {"box", "cls", "dfl", "kpt", "vis"} == set(parts)
+
+    # decode conventions agree: head eval decode vs the loss's kpt decode
+    rng = np.random.RandomState(3)
+    raw = [jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, C)).astype(np.float32)),
+           jnp.asarray(rng.uniform(-1, 1, (2, 4, 4, C)).astype(np.float32))]
+    dec = head.decode(raw)                       # (B, A, 4 + nc + K*3)
+    assert dec.shape[-1] == 4 + nc + K * 3
+    anchors, strides = make_anchors([(8, 8), (4, 4)], (8, 16))
+    flat = jnp.concatenate([r.reshape(2, -1, C) for r in raw], 1)
+    kraw = flat[..., 4 * rm + nc:].reshape(2, -1, K, 3)
+    want_xy = (2.0 * kraw[..., :2] + (anchors[None, :, None, :] - 0.5)) \
+        * strides[None, :, None, None]
+    got = dec[..., 4 + nc:].reshape(2, -1, K, 3)
+    np.testing.assert_allclose(np.asarray(got[..., :2]), np.asarray(want_xy),
+                               atol=1e-5)
+
+
+def test_builder_v8_pose_head_loss_pairing(tmp_path):
+    """Builder auto-selects reg_max=16 for loss v8_pose so the built model
+    and loss are trace-compatible end to end."""
+    from tpupose.configs.default import default_config
+    from tpupose.engine.builder import Builder
+
+    cfg = default_config()
+    cfg.model.name = "dinov3_pose"
+    cfg.model.backbone = "dinov3_convnext_atto"
+    cfg.model.neck_channels = (32, 64, 128)
+    cfg.model.num_keypoints = 4
+    cfg.model.num_classes = 2
+    cfg.loss.name = "v8_pose"
+    cfg.train.mixed_precision = False
+    b = Builder(cfg)
+    model = b.model()
+    loss = b.loss(model)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x, train=True)
+    outs, _ = model.apply(v, x, train=True, mutable=["batch_stats"])
+    assert outs[0].shape[-1] == 4 * 16 + 2 + 3 * 4
+    targets = _pose_targets(K=4)
+    targets = {k: v_[:1] for k, v_ in targets.items()}
+    total, _ = loss(outs, targets)
+    assert np.isfinite(float(total))

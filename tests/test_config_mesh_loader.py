@@ -122,3 +122,29 @@ def test_frozen_backbone_gets_zero_updates():
     upd, _ = tx.update(grads, state, params)
     np.testing.assert_allclose(np.asarray(upd["ResNet_0"]["k"]), 0.0)
     assert float(np.abs(np.asarray(upd["head"]["k"])).sum()) > 0
+
+
+def test_batchloader_workers_preserve_order_and_pad_last():
+    """num_workers>0 collates batches in parallel but yields them in
+    epoch order; pad_last fills the tail batch to the static size with a
+    pad_mask marking real rows."""
+    import numpy as np
+
+    from tpupose.data.loader import BatchLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.int32)}
+
+    ld = BatchLoader(DS(), batch_size=4, shuffle=False, drop_last=False,
+                     num_workers=3, pad_last=True)
+    batches = list(ld)
+    assert len(batches) == 3
+    got = np.concatenate([b["x"][:, 0][b["pad_mask"]] for b in batches])
+    np.testing.assert_array_equal(got, np.arange(10))
+    # every batch is the full static size
+    assert all(b["x"].shape == (4, 2) for b in batches)
+    assert batches[-1]["pad_mask"].tolist() == [True, True, False, False]

@@ -104,14 +104,21 @@ def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
         pil = Image.open(p).convert("RGB")
         w0, h0 = pil.size
         img = np.asarray(pil.resize((W, H)), np.uint8)
-        dec = np.asarray(infer(jnp.asarray(img[None])))[0]  # (A, nc+3K)
-        cls_scores = dec[:, :nc]
+        dec = np.asarray(infer(jnp.asarray(img[None])))[0]  # (A, [4+]nc+3K)
+        # v8-style heads (model.reg_max>0) decode real boxes first
+        off = 4 if (cfg.model.reg_max > 0 or cfg.loss.name == "v8_pose") else 0
+        cls_scores = dec[:, off:off + nc]
         scores = cls_scores.max(-1)
         classes = cls_scores.argmax(-1).astype(np.int32)
-        kpts = dec[:, nc:].reshape(-1, K, 3)
-        # kpt-extent boxes for NMS (HPE/test.py:156-165)
-        xs, ys = kpts[..., 0], kpts[..., 1]
-        boxes = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=-1)
+        kpts = dec[:, off + nc:].reshape(-1, K, 3)
+        if off:
+            cx, cy, w, h = dec[:, 0], dec[:, 1], dec[:, 2], dec[:, 3]
+            boxes = np.stack([cx - w / 2, cy - h / 2,
+                              cx + w / 2, cy + h / 2], axis=-1)
+        else:
+            # kpt-extent boxes for NMS (HPE/test.py:156-165)
+            xs, ys = kpts[..., 0], kpts[..., 1]
+            boxes = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=-1)
         ob, os_, oc, ok, ov = batched_pose_nms(
             jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
             jnp.asarray(kpts), iou_threshold=cfg.eval.iou_threshold,

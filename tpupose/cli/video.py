@@ -63,7 +63,8 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = ""):
         num_keypoints=cfg.model.num_keypoints,
         conf_threshold=cfg.eval.conf_threshold,
         iou_threshold=cfg.eval.iou_threshold,
-        max_detections=cfg.eval.max_detections)
+        max_detections=cfg.eval.max_detections,
+        has_box_branch=(cfg.model.reg_max > 0 or cfg.loss.name == "v8_pose"))
     tracker = PoseTracker()
 
     frames = natural_sort(

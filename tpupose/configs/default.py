@@ -35,6 +35,7 @@ class ModelConfig:
     strides: tuple = (8, 16, 32)
     freeze_backbone: bool = True        # reference freezes DINOv3 (HPE/models/pose.py:47-49)
     kpt_dim: int = 3                    # (x, y, visibility)
+    reg_max: int = 0                    # >0: v8 DFL box branch (required by loss v8_pose)
 
 
 @dataclass

@@ -55,7 +55,8 @@ class Builder:
                        num_classes=m.num_classes,
                        neck_channels=tuple(m.neck_channels),
                        strides=tuple(m.strides),
-                       freeze_backbone=m.freeze_backbone, dtype=dtype)
+                       freeze_backbone=m.freeze_backbone,
+                       reg_max=self._reg_max(), dtype=dtype)
         if m.name == "deeppose":
             return cls(backbone=m.backbone, num_keypoints=m.num_keypoints, dtype=dtype)
         # registry fallback: pass the common kwargs
@@ -95,8 +96,17 @@ class Builder:
                 num_keypoints=self.cfg.model.num_keypoints,
                 num_classes=self.cfg.model.num_classes,
                 strides=tuple(self.cfg.model.strides),
+                reg_max=self._reg_max(),
             )
         raise ValueError(f"unknown loss {name!r}")
+
+    def _reg_max(self) -> int:
+        """v8_pose needs the DFL box branch on the head; the loss and the
+        head must agree on one reg_max (ADVICE r1: a head without the box
+        channels cannot be trained by v8PoseLoss)."""
+        if self.cfg.loss.name == "v8_pose":
+            return self.cfg.model.reg_max or 16
+        return self.cfg.model.reg_max
 
     # -- optimizer + schedule ---------------------------------------------------
     def lr_scheduler(self, steps_per_epoch: int):

@@ -48,13 +48,16 @@ class HeatmapPredictor:
 class YoloPosePredictor:
     def __init__(self, state, num_classes: int, num_keypoints: int,
                  conf_threshold: float = 0.25, iou_threshold: float = 0.45,
-                 max_detections: int = 100):
+                 max_detections: int = 100, has_box_branch: bool = False):
         self.state = state
         self.nc = num_classes
         self.K = num_keypoints
         self.conf = conf_threshold
         self.iou = iou_threshold
         self.max_det = max_detections
+        # v8-style heads (PoseHead reg_max>0) decode real boxes first:
+        # (B, A, 4 + nc + 3K); box-free heads derive boxes from keypoints
+        self.has_box = has_box_branch
         self._step = jax.jit(self._infer)
 
     def _infer(self, state, images):
@@ -64,13 +67,19 @@ class YoloPosePredictor:
         x = normalize_images(images, scale_only=True)
         dec = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
-            x, train=False)                       # (B, A, nc + 3K)
-        cls = dec[..., : self.nc]
+            x, train=False)                # (B, A, [4 +] nc + 3K)
+        off = 4 if self.has_box else 0
+        cls = dec[..., off: off + self.nc]
         scores = cls.max(-1)
         classes = cls.argmax(-1).astype(jnp.int32)
-        kpts = dec[..., self.nc:].reshape(dec.shape[0], -1, self.K, 3)
-        xs, ys = kpts[..., 0], kpts[..., 1]
-        boxes = jnp.stack([xs.min(2), ys.min(2), xs.max(2), ys.max(2)], -1)
+        kpts = dec[..., off + self.nc:].reshape(dec.shape[0], -1, self.K, 3)
+        if self.has_box:
+            from tpupose.losses.bbox import xywh2xyxy
+
+            boxes = xywh2xyxy(dec[..., :4])
+        else:
+            xs, ys = kpts[..., 0], kpts[..., 1]
+            boxes = jnp.stack([xs.min(2), ys.min(2), xs.max(2), ys.max(2)], -1)
 
         def per_image(b, s, c, k):
             return batched_pose_nms(b, s, c, k, self.iou, self.conf,

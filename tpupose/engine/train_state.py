@@ -54,16 +54,50 @@ def create_train_state(model, rng, sample_input, tx, train: bool = False) -> Tra
     )
 
 
-def make_heatmap_train_step(loss_fn):
+def make_heatmap_train_step(loss_fn, color_jitter_strength: float = 0.0,
+                            jitter_seed: int = 0, heatmap_size=None,
+                            sigma: float = 2.0):
     """Build the jitted train step for heatmap models.
 
-    batch: {"images": uint8/float NHWC, "target": (B,Hh,Wh,K),
-            "target_weight": (B,K)}. Donates the state buffer.
+    batch: {"images": uint8/float NHWC} plus EITHER precomputed
+    {"target": (B,Hh,Wh,K), "target_weight": (B,K)} OR raw
+    {"joints": (B,K,2) heatmap px, "visibility": (B,K)} — with
+    heatmap_size set, the Gaussian targets are rendered INSIDE the
+    compiled step (fused with the forward; the host ships only the tiny
+    joint arrays). Donates the state buffer.
+
+    color_jitter_strength > 0 applies the on-device color jitter INSIDE the
+    compiled step (north-star "fused XLA image kernels": brightness/
+    contrast/saturation fuse into the normalize + first conv, zero extra
+    HBM round-trips). Labels are geometric — jitter never touches them.
+    The jitter rng is folded from the step counter: deterministic resume.
     """
-    from tpupose.ops.preprocess import normalize_images
+    import jax.numpy as _jnp
+
+    from tpupose.ops.heatmap import gaussian_heatmaps
+    from tpupose.ops.preprocess import (IMAGENET_MEAN, IMAGENET_STD,
+                                        color_jitter, normalize_images)
 
     def train_step(state: TrainState, batch):
-        imgs = normalize_images(batch["images"])
+        if color_jitter_strength > 0:
+            x = batch["images"].astype(_jnp.float32) * (1.0 / 255.0)
+            rng = jax.random.fold_in(jax.random.PRNGKey(jitter_seed),
+                                     state.step)
+            x = color_jitter(x, rng, color_jitter_strength)
+            m = _jnp.asarray(IMAGENET_MEAN)
+            s = _jnp.asarray(IMAGENET_STD)
+            imgs = ((x - m) / s).astype(_jnp.bfloat16)
+        else:
+            imgs = normalize_images(batch["images"])
+        if "target" in batch:
+            batch = dict(batch)
+        else:
+            assert heatmap_size is not None, "need heatmap_size to render targets"
+            t, tw = gaussian_heatmaps(batch["joints"], batch["visibility"],
+                                      tuple(heatmap_size), sigma)
+            batch = dict(batch)
+            batch["target"] = _jnp.transpose(t, (0, 2, 3, 1))  # NKHW -> NHWK
+            batch["target_weight"] = tw
 
         def compute_loss(params):
             outs, mut = state.apply_fn(
@@ -71,7 +105,7 @@ def make_heatmap_train_step(loss_fn):
                 imgs, train=True, mutable=["batch_stats"],
             )
             loss = loss_fn(outs, batch["target"], batch.get("target_weight"))
-            return loss, mut["batch_stats"]
+            return loss, mut.get("batch_stats", state.batch_stats)
 
         (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
@@ -99,7 +133,7 @@ def make_regression_train_step(loss_fn):
             )
             loss = loss_fn(preds, batch["target_coords"],
                            batch.get("visibility"))
-            return loss, mut["batch_stats"]
+            return loss, mut.get("batch_stats", state.batch_stats)
 
         (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params)
@@ -131,7 +165,7 @@ def make_yolo_train_step(loss_fn):
                 imgs, train=True, mutable=["batch_stats"],
             )
             total, parts = loss_fn(preds, targets)
-            return total, (mut["batch_stats"], parts)
+            return total, (mut.get("batch_stats", state.batch_stats), parts)
 
         (loss, (new_bs, parts)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)

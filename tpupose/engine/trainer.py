@@ -65,8 +65,9 @@ class Trainer:
                 batch_stats=dict(self.state.batch_stats))
             self.state = self.state.replace(params=params,
                                             batch_stats=batch_stats)
-        # replicate state across the mesh
-        self.state = self.mesh_mgr.replicate(self.state)
+        # place state on the mesh: DP replicates; mesh.model>1 shards wide
+        # kernels (and their optimizer moments) over the 'model' axis
+        self.state = self.mesh_mgr.shard_state(self.state)
 
         if cfg.loss.name in ("pose_compute", "v8_pose"):
             self.family = "yolo"
@@ -95,7 +96,12 @@ class Trainer:
 
             self.val_step = jax.jit(_val_step)
         else:
-            self.train_step = make_heatmap_train_step(self.loss_fn)
+            self.train_step = make_heatmap_train_step(
+                self.loss_fn,
+                color_jitter_strength=cfg.data.color_jitter,
+                jitter_seed=cfg.train.seed,
+                heatmap_size=tuple(cfg.model.heatmap_size),
+                sigma=cfg.data.sigma)
             self.eval_step = make_heatmap_eval_step()
 
         exp_dir = os.path.join(cfg.train.output_dir, cfg.train.experiment)
@@ -106,31 +112,28 @@ class Trainer:
             self.load_checkpoint(cfg.model.checkpoint)
 
     # ------------------------------------------------------------------
-    @staticmethod
-    def _prefetched(loader, depth: int = 2):
-        """Host-side lookahead: collate the next batches in a background
-        thread so disk/np work overlaps the compiled step (the
-        DataLoader-workers/prefetch_factor analog, HPE/train.py:72-79)."""
-        import queue
-        import threading
+    def _prefetched(self, loader, depth: int = 2):
+        """Device prefetch: place the next `depth` prepared batches on the
+        mesh ahead of consumption (device_put is async) so host collation
+        + H2D transfer overlap the compiled step — the pinned-memory/
+        prefetch_factor analog (HPE/train.py:72-79). Host-side parallelism
+        comes from BatchLoader's worker threads."""
+        import collections
 
-        q: queue.Queue = queue.Queue(maxsize=depth)
+        buf = collections.deque()
+        for batch in loader:
+            buf.append(self._prepare_batch(batch))
+            if len(buf) >= depth:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
 
-        def worker():
-            for b in loader:
-                q.put(b)
-            q.put(None)
+    def _prepare_batch(self, batch, for_eval: bool = False):
+        """Host batch dict -> device (mesh-sharded) batch.
 
-        threading.Thread(target=worker, daemon=True).start()
-        while True:
-            b = q.get()
-            if b is None:
-                return
-            yield b
-
-    def _prepare_batch(self, batch):
-        """Host batch dict -> device batch; heatmap family renders Gaussian
-        targets on device, yolo family ships padded instance targets."""
+        Heatmap family ships images + the tiny joint arrays; the Gaussian
+        targets are rendered inside the jitted train step. Eval keeps the
+        precomputed-target form for the loss-only validate path."""
         if self.family == "yolo":
             return self.mesh_mgr.shard_batch(
                 {k: batch[k] for k in
@@ -143,11 +146,13 @@ class Trainer:
             coords = dev["joints"] / jnp.array([Wh, Hh], jnp.float32)
             return {"images": dev["images"], "target_coords": coords,
                     "visibility": dev["visibility"]}
-        hm_size = tuple(self.cfg.model.heatmap_size)
         dev = self.mesh_mgr.shard_batch(
             {"images": batch["images"], "joints": batch["joints"],
              "visibility": batch["visibility"]}
         )
+        if not for_eval:
+            return dev
+        hm_size = tuple(self.cfg.model.heatmap_size)
         target, tw = gaussian_heatmaps(dev["joints"], dev["visibility"],
                                        hm_size, self.cfg.data.sigma)
         # NKHW -> NHWK to match the head's NHWC output
@@ -160,11 +165,10 @@ class Trainer:
         n_img = 0
         metrics = None
         profile_dir = getattr(self.cfg.train, "profile_dir", "")
-        for step, batch in enumerate(self._prefetched(self.train_loader)):
+        for step, db in enumerate(self._prefetched(self.train_loader)):
             if profile_dir and epoch == 0 and step == 10:
                 # one profiled step (SURVEY.md §5.1: jax.profiler hooks)
                 jax.profiler.start_trace(profile_dir)
-            db = self._prepare_batch(batch)
             self.state, metrics = self.train_step(self.state, db)
             if profile_dir and epoch == 0 and step == 10:
                 jax.block_until_ready(metrics["loss"])
@@ -190,7 +194,7 @@ class Trainer:
         pose/pose/engine/trainer.py:101-102 — here it's actually wired in)."""
         total, n = 0.0, 0
         for batch in self.valid_loader:
-            db = self._prepare_batch(batch)
+            db = self._prepare_batch(batch, for_eval=True)
             if self.family == "yolo":
                 loss = self.val_step(self.state, db)
             elif self.family == "regression":

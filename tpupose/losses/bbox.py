@@ -21,26 +21,36 @@ def xyxy2xywh(box):
     return jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], axis=-1)
 
 
-def kpts_to_box(kpts, vis_mask, trim: float = 0.1, pad: float = 1.05):
+def kpts_to_box(kpts, vis_mask, trim: float = 0.1, pad: float = 1.0):
     """Visibility-aware keypoints -> xywh box with percentile trimming.
 
-    kpts: (..., K, 2); vis_mask: (..., K). The reference trims the extreme
-    10% of coordinates before taking min/max (HPE/loss.py:277-315) to reject
-    outlier joints; a sorted-percentile version of the same idea, static
-    shape. Returns (..., 4) cx cy w h.
+    Exact static-shape port of the reference's point2box_xywh
+    (HPE/loss.py:277-315), numerically matched by
+    tests/test_reference_parity.py:
+      - < 2 visible joints -> fall back to ALL joints
+      - > 4 usable joints -> trim max(1, floor(0.1*n)) extremes per side
+      - otherwise plain min/max; w/h clamped to >= 1.0
+    kpts: (..., K, 2); vis_mask: (..., K). Returns (..., 4) cx cy w h.
     """
     K = kpts.shape[-2]
-    m = vis_mask.astype(jnp.float32)
+    m = (vis_mask > 0).astype(jnp.float32)
     big = 1e9
-    n_vis = jnp.sum(m, axis=-1, keepdims=True)  # (..., 1)
+    n_vis = jnp.sum(m, axis=-1, keepdims=True)          # (..., 1)
+    # reference: fewer than 2 visible -> use every joint
+    m_eff = jnp.where(n_vis < 2, jnp.ones_like(m), m)
+    n_eff = jnp.sum(m_eff, axis=-1, keepdims=True)
+
+    # trim count: max(1, floor(trim*n)) when n > 4, else 0
+    k = jnp.where(n_eff > 4,
+                  jnp.maximum(jnp.floor(trim * n_eff), 1.0),
+                  0.0)
+    k = jnp.clip(k, 0, K - 1).astype(jnp.int32)
 
     def trimmed_minmax(coord):
-        lo_fill = jnp.where(m > 0, coord, big)
-        hi_fill = jnp.where(m > 0, coord, -big)
-        lo_sorted = jnp.sort(lo_fill, axis=-1)          # ascending, invis at end
-        hi_sorted = jnp.sort(hi_fill, axis=-1)          # ascending, invis at start
-        # trim index = floor(trim * n_vis), clamped
-        k = jnp.clip(jnp.floor(trim * n_vis), 0, K - 1).astype(jnp.int32)
+        lo_fill = jnp.where(m_eff > 0, coord, big)
+        hi_fill = jnp.where(m_eff > 0, coord, -big)
+        lo_sorted = jnp.sort(lo_fill, axis=-1)          # ascending, unused at end
+        hi_sorted = jnp.sort(hi_fill, axis=-1)          # ascending, unused at start
         lo = jnp.take_along_axis(lo_sorted, k, axis=-1)[..., 0]
         hi_idx = jnp.clip(K - 1 - k, 0, K - 1)
         hi = jnp.take_along_axis(hi_sorted, hi_idx, axis=-1)[..., 0]
@@ -48,13 +58,11 @@ def kpts_to_box(kpts, vis_mask, trim: float = 0.1, pad: float = 1.05):
 
     xlo, xhi = trimmed_minmax(kpts[..., 0])
     ylo, yhi = trimmed_minmax(kpts[..., 1])
-    valid = n_vis[..., 0] > 0
-    w = jnp.maximum(xhi - xlo, 0.0) * pad
-    h = jnp.maximum(yhi - ylo, 0.0) * pad
+    w = jnp.maximum(xhi - xlo, 1.0) * pad
+    h = jnp.maximum(yhi - ylo, 1.0) * pad
     cx = (xlo + xhi) / 2
     cy = (ylo + yhi) / 2
-    box = jnp.stack([cx, cy, w, h], axis=-1)
-    return jnp.where(valid[..., None], box, 0.0)
+    return jnp.stack([cx, cy, w, h], axis=-1)
 
 
 def ciou(box1, box2, eps: float = 1e-7):

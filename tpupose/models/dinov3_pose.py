@@ -49,6 +49,7 @@ class DINOv3Pose(nn.Module):
     strides: Sequence[int] = (8, 16, 32)
     freeze_backbone: bool = True
     kpt_dim: int = 3
+    reg_max: int = 0                # >0: v8-style DFL box branch on the head
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -84,13 +85,20 @@ class DINOv3Pose(nn.Module):
         return PoseHead(num_classes=self.num_classes,
                         kpt_shape=(self.num_keypoints, self.kpt_dim),
                         strides=tuple(self.strides),
+                        reg_max=self.reg_max,
                         dtype=self.dtype)(feats, train=train)
 
     def forward_features(self, variables, x):
-        """Backbone features only (reference DINOv3Pose.forward_features)."""
+        """Backbone features only (reference DINOv3Pose.forward_features,
+        HPE/models/pose.py:50-65 — exposed for both backbone families)."""
         family, size = _parse_backbone(self.backbone)
         if family == "convnext":
             bb = ConvNeXt.from_size(size, dtype=self.dtype)
             return bb.apply({"params": variables["params"]["ConvNeXt_0"]},
                             x, train=False)
-        raise NotImplementedError("forward_features for vit: call the model")
+        depth = VIT_SIZES[size]["depth"]
+        ids = (depth // 3 - 1, 2 * depth // 3 - 1, depth - 1)
+        bb = DinoViT.from_size(size, intermediates=ids, dtype=self.dtype)
+        out = bb.apply({"params": variables["params"]["DinoViT_0"]},
+                       x, train=False)
+        return [out["intermediates"][i] for i in ids]

@@ -93,70 +93,108 @@ class _KptBranch(nn.Module):
 
 
 class PoseHead(nn.Module):
+    """reg_max=0 (default): the reference's box-free pose head — per-scale
+    (ncls + K*3) maps, eval kpt decode (v - 0.5 + anchor) * stride
+    (head.py:185-211).
+
+    reg_max>0: the v8/ultralytics-style pose head the v8PoseLoss trains —
+    adds a DFL box branch (4*reg_max channels first), and switches the kpt
+    decode to the matching v8 convention (2v + anchor - 0.5) * stride
+    (reference HPE/utils/loss.py:212-219), so training and inference share
+    one decode. Select via cfg.model.reg_max + loss.name=v8_pose.
+    """
+
     num_classes: int = 1
     kpt_shape: tuple = (17, 3)
     strides: tuple = (8, 16, 32)
+    reg_max: int = 0
     dtype: Any = jnp.bfloat16
 
     @property
     def nk(self):
         return self.kpt_shape[0] * self.kpt_shape[1]
 
+    @property
+    def box_ch(self):
+        return 4 * self.reg_max
+
     @nn.compact
     def __call__(self, feats, train: bool = True):
         """feats: list of NHWC maps (fine -> coarse).
 
-        train=True: list of per-scale (B, H, W, ncls + nk) raw maps.
-        train=False: (B, A, ncls + nk) decoded — cls sigmoid, kpt xy in
-        input pixels, visibility sigmoid.
+        train=True: list of per-scale (B, H, W, [4*reg_max +] ncls + nk)
+        raw maps. train=False: (B, A, [4 +] ncls + nk) decoded — boxes in
+        input pixels (box variant), cls sigmoid, kpt xy in input pixels,
+        visibility sigmoid.
         """
         c_in0 = feats[0].shape[-1]
+        c2 = max(16, c_in0 // 4, self.box_ch)
         c3 = max(c_in0, min(self.num_classes, 100))
         c4 = max(c_in0 // 4, self.nk)
         outs = []
         for f in feats:
-            cls = _ClsBranch(self.num_classes, c3, dtype=self.dtype)(f, train)
-            kpt = _KptBranch(self.nk, c4, dtype=self.dtype)(f, train)
-            outs.append(jnp.concatenate([cls, kpt], axis=-1))
+            parts = []
+            if self.reg_max > 0:
+                box = ConvBlock(c2, 3, dtype=self.dtype)(f, train)
+                box = ConvBlock(c2, 3, dtype=self.dtype)(box, train)
+                parts.append(nn.Conv(self.box_ch, (1, 1), dtype=jnp.float32)(box))
+            parts.append(_ClsBranch(self.num_classes, c3, dtype=self.dtype)(f, train))
+            parts.append(_KptBranch(self.nk, c4, dtype=self.dtype)(f, train))
+            outs.append(jnp.concatenate(parts, axis=-1))
         if train:
             return outs
         return self.decode(outs)
 
     def decode(self, outs):
         """Multi-scale eval decode (reference _inference_pose + kpts_decode,
-        head.py:185-211)."""
+        head.py:185-211; v8 variant HPE/utils/loss.py:212-219)."""
         shapes = [o.shape[1:3] for o in outs]
         anchors, strides = make_anchors(shapes, self.strides)
         B = outs[0].shape[0]
-        C = self.num_classes + self.nk
+        C = self.box_ch + self.num_classes + self.nk
         flat = jnp.concatenate([o.reshape(B, -1, C) for o in outs], axis=1)
-        cls = jax.nn.sigmoid(flat[..., : self.num_classes])
+        cls = jax.nn.sigmoid(flat[..., self.box_ch: self.box_ch + self.num_classes])
         K, ndim = self.kpt_shape
-        kpt = flat[..., self.num_classes:].reshape(B, -1, K, ndim)
-        xy = (kpt[..., :2] - 0.5 + anchors[None, :, None, :]) * strides[None, :, None, None]
+        kpt = flat[..., self.box_ch + self.num_classes:].reshape(B, -1, K, ndim)
+        if self.reg_max > 0:
+            # v8 conventions: DFL boxes + (2v + anchor - 0.5) * stride kpts
+            dist = dfl_integral(flat[..., : self.box_ch], self.reg_max)
+            boxes = dist2bbox(dist, anchors[None]) * strides[None, :, None]
+            xy = (2.0 * kpt[..., :2] + (anchors[None, :, None, :] - 0.5)) \
+                * strides[None, :, None, None]
+        else:
+            boxes = None
+            xy = (kpt[..., :2] - 0.5 + anchors[None, :, None, :]) \
+                * strides[None, :, None, None]
         if ndim == 3:
             vis = jax.nn.sigmoid(kpt[..., 2:3])
             kpt = jnp.concatenate([xy, vis], axis=-1)
         else:
             kpt = xy
-        return jnp.concatenate([cls, kpt.reshape(B, -1, self.nk)], axis=-1)
+        pieces = ([boxes] if boxes is not None else []) \
+            + [cls, kpt.reshape(B, -1, self.nk)]
+        return jnp.concatenate(pieces, axis=-1)
+
+
+def dfl_integral(x, reg_max: int = 16):
+    """Distribution focal loss integral: softmax over reg_max bins ->
+    expected value (reference block.py:257-271 expresses it as a
+    fixed-weight conv; here a pure tensordot). x: (B, A, 4*reg_max)."""
+    B, A, _ = x.shape
+    x = x.reshape(B, A, 4, reg_max)
+    p = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    return jnp.sum(p * bins, axis=-1)  # (B, A, 4)
 
 
 class DFL(nn.Module):
-    """Distribution focal loss integral: softmax over reg_max bins -> expected
-    value (reference block.py:257-271) — a fixed-weight conv, expressed as a
-    tensordot."""
+    """Module wrapper over dfl_integral (parameter-free)."""
 
     reg_max: int = 16
 
     @nn.compact
     def __call__(self, x):
-        # x: (B, A, 4 * reg_max)
-        B, A, _ = x.shape
-        x = x.reshape(B, A, 4, self.reg_max)
-        p = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
-        bins = jnp.arange(self.reg_max, dtype=jnp.float32)
-        return jnp.sum(p * bins, axis=-1)  # (B, A, 4)
+        return dfl_integral(x, self.reg_max)
 
 
 class DetectHead(nn.Module):
@@ -201,7 +239,7 @@ class DetectHead(nn.Module):
         B = outs[0].shape[0]
         C = self.box_ch + self.num_classes
         flat = jnp.concatenate([o.reshape(B, -1, C) for o in outs], axis=1)
-        dist = DFL(self.reg_max)(flat[..., : 4 * self.reg_max])
+        dist = dfl_integral(flat[..., : 4 * self.reg_max], self.reg_max)
         boxes = dist2bbox(dist, anchors[None]) * strides[None, :, None]
         cls = jax.nn.sigmoid(flat[..., self.box_ch:])
         if self.objectness:

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpupose.parallel.mesh import DATA_AXIS
 
@@ -54,6 +54,6 @@ def make_shard_map_train_step(mesh: Mesh, apply_fn, loss_fn, tx):
         local_step, mesh=mesh,
         in_specs=(repl, repl, batch_spec, batch_spec, batch_spec),
         out_specs=(repl, repl, repl),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped)
