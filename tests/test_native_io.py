@@ -91,3 +91,57 @@ def test_yolo_dataset_uses_native_path(tmp_path, jpeg_dir):
                           num_keypoints=1, max_instances=4)
     s2 = ds2[0]
     np.testing.assert_allclose(s2["keypoints"][0, 0], [0.3, 0.3, 1.0])
+
+
+def test_decode_warp_batch_matches_pil_path(tmp_path):
+    """The fused C++ decode+affine crop must match the PIL fallback crop
+    (same matrix) within JPEG/bilinear tolerance, and labels are
+    identical because geometry is drawn once."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from tpupose.data.coco import CocoTopDownDataset
+    from tpupose.data.native_io import decode_warp_batch, get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    root = tmp_path
+    (root / "val2017").mkdir()
+    (root / "annotations").mkdir()
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    for i in range(4):
+        W0, H0 = 320, 280
+        # smooth image: decode-scale differences stay tiny
+        yy, xx = np.mgrid[0:H0, 0:W0]
+        img = np.stack([(xx * 255 / W0), (yy * 255 / H0),
+                        ((xx + yy) * 127 / (W0 + H0))], -1).astype(np.uint8)
+        name = f"{i:012d}.jpg"
+        Image.fromarray(img).save(root / "val2017" / name, quality=97)
+        images.append({"id": i, "file_name": name, "width": W0, "height": H0})
+        kp = []
+        for k in range(17):
+            kp += [60.0 + 10 * k, 50.0 + 9 * k, 2]
+        anns.append({"id": i, "image_id": i, "category_id": 1,
+                     "bbox": [40, 30, 200, 220], "keypoints": kp,
+                     "num_keypoints": 17, "area": 44000, "iscrowd": 0})
+    with open(root / "annotations" / "person_keypoints_val2017.json", "w") as f:
+        json.dump({"images": images, "annotations": anns}, f)
+
+    ds = CocoTopDownDataset(
+        image_dir=str(root / "val2017"),
+        ann_file=str(root / "annotations" / "person_keypoints_val2017.json"),
+        image_size=(128, 96), heatmap_size=(32, 24), is_train=False)
+    fast = ds.get_batch([0, 1, 2, 3])
+    slow = [ds[i] for i in range(4)]
+    for a, b in zip(fast, slow):
+        np.testing.assert_allclose(a["joints"], b["joints"])
+        np.testing.assert_allclose(a["center"], b["center"])
+        diff = np.abs(a["image"].astype(np.float32)
+                      - b["image"].astype(np.float32))
+        assert diff.mean() < 4.0, diff.mean()

@@ -63,3 +63,23 @@ def test_warp_zero_fill_outside():
     m = get_affine_matrix(jnp.array([100.0, 100.0]), jnp.array([8.0, 8.0]), 0.0, (8, 8))
     out = affine_warp(img, m, (8, 8))
     assert float(jnp.max(jnp.abs(out))) == 0.0
+
+
+def test_affine_matrix_np_matches_jax():
+    """The host (NumPy) matrix must equal the device (jax) matrix — the
+    COCO dataset uses the NumPy twin so __getitem__ never dispatches a
+    device op."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpupose.ops.affine import get_affine_matrix, get_affine_matrix_np
+
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        c = rng.uniform(50, 300, 2).astype(np.float32)
+        s = rng.uniform(80, 400, 2).astype(np.float32)
+        r = float(rng.uniform(-45, 45))
+        a = np.asarray(get_affine_matrix(jnp.asarray(c), jnp.asarray(s),
+                                         r, (64, 48)))
+        b = get_affine_matrix_np(c, s, r, (64, 48))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)

@@ -29,7 +29,8 @@ class CocoTopDownDataset:
                  heatmap_size=(64, 48), is_train: bool = True,
                  scale_factor: float = 0.25, rotation_factor: float = 30.0,
                  flip_prob: float = 0.5, min_keypoints: int = 1,
-                 padding: float = 1.25, seed: int = 0):
+                 padding: float = 1.25, seed: int = 0,
+                 decode_threads: int = 4):
         self.image_dir = image_dir
         self.image_size = tuple(image_size)   # (H, W)
         self.heatmap_size = tuple(heatmap_size)
@@ -38,7 +39,11 @@ class CocoTopDownDataset:
         self.rotation_factor = rotation_factor
         self.flip_prob = flip_prob
         self.padding = padding
+        self.decode_threads = decode_threads
         self._rng = np.random.RandomState(seed)
+        import threading
+
+        self._rng_lock = threading.Lock()  # loader workers draw concurrently
 
         with open(ann_file) as f:
             coco = json.load(f)
@@ -101,66 +106,53 @@ class CocoTopDownDataset:
         path = os.path.join(self.image_dir, file_name)
         return np.asarray(Image.open(path).convert("RGB"), np.uint8)
 
-    def __getitem__(self, idx: int) -> dict:
-        from tpupose.ops.affine import get_affine_matrix  # for host-side joints
-
+    def _sample_params(self, idx: int):
+        """Draw augmentation params + labels for one instance (numpy-only:
+        the host path must never dispatch device ops)."""
         s = self.samples[idx]
-        H, W = self.image_size
-        Hh, Wh = self.heatmap_size
         center, scale = self._box_to_center_scale(s["bbox"])
         joints_src = s["joints"].copy()
         vis = s["visibility"].copy()
         rot = 0.0
+        flipped = False
         if self.is_train:
+            with self._rng_lock:
+                r_scale = self._rng.randn()
+                r_rotp = self._rng.rand()
+                r_rot = self._rng.randn()
+                r_flip = self._rng.rand()
             scale = scale * np.clip(
-                1.0 + self._rng.randn() * self.scale_factor,
+                1.0 + r_scale * self.scale_factor,
                 1 - self.scale_factor, 1 + self.scale_factor)
-            if self._rng.rand() < 0.6:
-                rot = float(np.clip(self._rng.randn() * self.rotation_factor,
+            if r_rotp < 0.6:
+                rot = float(np.clip(r_rot * self.rotation_factor,
                                     -2 * self.rotation_factor,
                                     2 * self.rotation_factor))
+            if r_flip < self.flip_prob:
+                flipped = True
+                joints_src[:, 0] = s["width"] - 1 - joints_src[:, 0]
+                center = center.copy()
+                center[0] = s["width"] - 1 - center[0]
+                from tpupose.engine.evaluator import COCO_FLIP_PAIRS
 
-        img = self._read_image(s["file_name"])
-        flipped = False
-        if self.is_train and self._rng.rand() < self.flip_prob:
-            flipped = True
-            img = img[:, ::-1].copy()
-            joints_src[:, 0] = s["width"] - 1 - joints_src[:, 0]
-            center[0] = s["width"] - 1 - center[0]
-            from tpupose.engine.evaluator import COCO_FLIP_PAIRS
+                for a, b in COCO_FLIP_PAIRS:
+                    joints_src[[a, b]] = joints_src[[b, a]]
+                    vis[[a, b]] = vis[[b, a]]
+        return s, center, scale, rot, flipped, joints_src, vis
 
-            for a, b in COCO_FLIP_PAIRS:
-                joints_src[[a, b]] = joints_src[[b, a]]
-                vis[[a, b]] = vis[[b, a]]
+    def _labels(self, s, center, scale, rot, flipped, joints_src, vis):
+        """Heatmap-coord joints + the sample dict (minus the image)."""
+        from tpupose.ops.affine import get_affine_matrix_np
 
-        # Source images vary in size, so the crop to the fixed (H, W) input
-        # happens here on the host with the SAME dst->src matrix the device
-        # ops use (PIL's AFFINE transform takes exactly that 2x3 form);
-        # fixed-size batches then flow uint8 to the device. Batched
-        # on-device warping (ops/affine.py) is used where sources are
-        # uniform (bench/eval canvases).
-        import jax.numpy as jnp
-        from PIL import Image
-
-        m = np.asarray(get_affine_matrix(jnp.asarray(center), jnp.asarray(scale),
-                                         rot, self.image_size))
-        crop = Image.fromarray(img).transform(
-            (W, H), Image.AFFINE, tuple(m.reshape(-1)),
-            resample=Image.BILINEAR)
-        crop = np.asarray(crop, np.uint8)
-
-        # joints into heatmap coords via the heatmap-resolution matrix
-        m_hm = np.asarray(get_affine_matrix(jnp.asarray(center), jnp.asarray(scale),
-                                            rot, (Hh, Wh)))
+        Hh, Wh = self.heatmap_size
+        m_hm = get_affine_matrix_np(center, scale, rot, (Hh, Wh))
         minv = _invert_2x3(m_hm)
         joints_hm = (minv[:, :2] @ joints_src.T + minv[:, 2:3]).T
         # joints leaving the crop become invisible
         inside = ((joints_hm[:, 0] >= 0) & (joints_hm[:, 0] < Wh)
                   & (joints_hm[:, 1] >= 0) & (joints_hm[:, 1] < Hh))
         vis = np.where(inside, vis, 0.0)
-
         return {
-            "image": crop,                      # (H, W, 3) uint8 crop
             "image_id": np.int64(s["image_id"]),
             "center": center, "scale": scale, "rotation": np.float32(rot),
             "joints": joints_hm.astype(np.float32),   # heatmap coords
@@ -169,6 +161,88 @@ class CocoTopDownDataset:
             "area": np.float32(s["area"]),
             "flipped": flipped,
         }
+
+    def _flip_folded_matrix(self, s, center, scale, rot, flipped):
+        """dst->src matrix in ORIGINAL-image pixels: the horizontal flip is
+        folded into the matrix (x_orig = (W0-1) - x_flipped) so decode+crop
+        is one warp — no flipped full-image copy ever exists."""
+        from tpupose.ops.affine import get_affine_matrix_np
+
+        m = get_affine_matrix_np(center, scale, rot, self.image_size)
+        if flipped:
+            m = m.copy()
+            m[0, :] = -m[0, :]
+            m[0, 2] += s["width"] - 1
+        return m
+
+    def __getitem__(self, idx: int) -> dict:
+        s, center, scale, rot, flipped, joints_src, vis = self._sample_params(idx)
+        H, W = self.image_size
+
+        # Source images vary in size, so the crop to the fixed (H, W) input
+        # happens on the host with the SAME dst->src matrix the device ops
+        # use; fixed-size batches then flow uint8 to the device. get_batch
+        # fuses decode+warp in C++ (tpupose/native/io.cc) — this per-item
+        # path is the PIL fallback and the non-JPEG path.
+        from PIL import Image
+
+        img = self._read_image(s["file_name"])
+        if flipped:
+            img = img[:, ::-1]
+        from tpupose.ops.affine import get_affine_matrix_np
+
+        m = get_affine_matrix_np(center, scale, rot, self.image_size)
+        crop = Image.fromarray(img).transform(
+            (W, H), Image.AFFINE, tuple(m.reshape(-1)),
+            resample=Image.BILINEAR)
+        out = self._labels(s, center, scale, rot, flipped, joints_src, vis)
+        out["image"] = np.asarray(crop, np.uint8)
+        return out
+
+    def get_batch(self, indices) -> list:
+        """Batched fast path: fused JPEG decode + affine crop on the native
+        C++ thread pool (one warp per sample, DCT-prescaled decode).
+        Falls back to the per-item PIL path when the native lib is absent
+        or any source is not a JPEG."""
+        params = [self._sample_params(int(i)) for i in indices]
+        paths = [os.path.join(self.image_dir, p[0]["file_name"])
+                 for p in params]
+        if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            from tpupose.data.native_io import decode_warp_batch
+
+            mats = np.stack([
+                self._flip_folded_matrix(s, c, sc, r, fl)
+                for (s, c, sc, r, fl, _, _) in params])
+            H, W = self.image_size
+            imgs = decode_warp_batch(paths, mats, H, W,
+                                     num_threads=self.decode_threads)
+            if imgs is not None:
+                out = []
+                for img, (s, c, sc, r, fl, js, v) in zip(imgs, params):
+                    d = self._labels(s, c, sc, r, fl, js, v)
+                    d["image"] = img
+                    out.append(d)
+                return out
+        # fallback: per-item (re-deriving params would advance the rng, so
+        # rebuild from the already-drawn params)
+        out = []
+        for (s, c, sc, r, fl, js, v) in params:
+            d = self._labels(s, c, sc, r, fl, js, v)
+            from PIL import Image
+
+            from tpupose.ops.affine import get_affine_matrix_np
+
+            img = self._read_image(s["file_name"])
+            if fl:
+                img = img[:, ::-1]
+            H, W = self.image_size
+            m = get_affine_matrix_np(c, sc, r, self.image_size)
+            crop = Image.fromarray(img).transform(
+                (W, H), Image.AFFINE, tuple(m.reshape(-1)),
+                resample=Image.BILINEAR)
+            d["image"] = np.asarray(crop, np.uint8)
+            out.append(d)
+        return out
 
 
 def _invert_2x3(m):

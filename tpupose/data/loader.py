@@ -55,7 +55,12 @@ class BatchLoader:
         if self.pad_last and len(sel) < self.batch_size:
             pad = self.batch_size - len(sel)
             sel = np.concatenate([sel, np.repeat(sel[-1:], pad)])
-        batch = self._collate([self.dataset[int(i)] for i in sel])
+        if hasattr(self.dataset, "get_batch"):
+            # batched fast path (e.g. the native fused decode+crop)
+            samples = self.dataset.get_batch(sel)
+        else:
+            samples = [self.dataset[int(i)] for i in sel]
+        batch = self._collate(samples)
         if self.pad_last:
             mask = np.ones(len(sel), bool)
             if pad:

@@ -60,6 +60,11 @@ def get_lib():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.c_int]
         lib.tp_parse_yolo_label.restype = ctypes.c_int
+        lib.tp_decode_warp_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib.tp_decode_warp_batch.restype = ctypes.c_int
         _lib = lib
         printT("native io runtime loaded")
         return _lib
@@ -115,3 +120,27 @@ def parse_yolo_label(path: str, cols: int, max_rows: int = 256):
                 return None
             rows.append([float(v) for v in vals])
     return np.asarray(rows, np.float32).reshape(-1, cols)
+
+
+def decode_warp_batch(paths, matrices, out_h: int, out_w: int,
+                      num_threads: int = 8):
+    """Fused JPEG decode + 2x3 affine crop on the C++ thread pool.
+
+    paths: N file paths; matrices: (N, 2, 3) float32 dst->src in FULL-RES
+    source pixels. Returns (N, out_h, out_w, 3) uint8, or None when the
+    native library is unavailable (callers fall back to the PIL path).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    mats = np.ascontiguousarray(np.asarray(matrices, np.float32).reshape(n, 6))
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    fails = lib.tp_decode_warp_batch(
+        arr, mats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        out_h, out_w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads)
+    if fails:
+        printW(f"native decode+warp: {fails}/{n} failures (zero-filled)")
+    return out

@@ -28,12 +28,23 @@ from tpupose.models.necks import PAN, SPPF, FeatureAdaptor
 from tpupose.models.yolo_head import PoseHead
 
 
+# DINOv3 release shorthand (reference vit_sizes/ckpt tables,
+# HPE/models/backbones/dinov3vit.py:143-172)
+_VIT_SHORTHAND = {
+    "vits16": "small", "vits16plus": "small_plus", "vitb16": "base",
+    "vitl16": "large", "vith16plus": "huge_plus", "vit7b16": "7b",
+}
+
+
 def _parse_backbone(name: str):
     """'dinov3_convnext_tiny' -> ('convnext', 'tiny'); also accepts
-    'convnext_tiny' / 'vit_small'."""
+    'convnext_tiny' / 'vit_small' and the DINOv3 release shorthands
+    ('dinov3_vits16', 'dinov3_vith16plus', ...)."""
     parts = name.split("_")
     if parts[0] == "dinov3":
         parts = parts[1:]
+    if parts[0] in _VIT_SHORTHAND:
+        return "vit", _VIT_SHORTHAND[parts[0]]
     family = parts[0]
     size = "_".join(parts[1:]) or ("tiny" if family == "convnext" else "small")
     if family not in ("convnext", "vit"):
@@ -88,9 +99,12 @@ class DINOv3Pose(nn.Module):
                         reg_max=self.reg_max,
                         dtype=self.dtype)(feats, train=train)
 
+    @nn.nowrap
     def forward_features(self, variables, x):
         """Backbone features only (reference DINOv3Pose.forward_features,
-        HPE/models/pose.py:50-65 — exposed for both backbone families)."""
+        HPE/models/pose.py:50-65 — exposed for both backbone families).
+        Plain helper (nn.nowrap): builds a standalone backbone and applies
+        the model's converted/trained backbone subtree to it."""
         family, size = _parse_backbone(self.backbone)
         if family == "convnext":
             bb = ConvNeXt.from_size(size, dtype=self.dtype)

@@ -72,9 +72,127 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst,
   }
 }
 
+// general 2x3 dst->src affine warp, bilinear, zero fill outside source
+void warp_affine(const uint8_t* src, int sh, int sw, const float m[6],
+                 uint8_t* dst, int dh, int dw) {
+  for (int y = 0; y < dh; ++y) {
+    uint8_t* out = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const float fx = m[0] * x + m[1] * y + m[2];
+      const float fy = m[3] * x + m[4] * y + m[5];
+      const int x0 = static_cast<int>(std::floor(fx));
+      const int y0 = static_cast<int>(std::floor(fy));
+      float acc[3] = {0, 0, 0};
+      const float wx = fx - x0, wy = fy - y0;
+      const float w[4] = {(1 - wy) * (1 - wx), (1 - wy) * wx,
+                          wy * (1 - wx), wy * wx};
+      const int xs[4] = {x0, x0 + 1, x0, x0 + 1};
+      const int ys[4] = {y0, y0, y0 + 1, y0 + 1};
+      for (int t = 0; t < 4; ++t) {
+        if (xs[t] < 0 || xs[t] >= sw || ys[t] < 0 || ys[t] >= sh) continue;
+        const uint8_t* p =
+            src + (static_cast<size_t>(ys[t]) * sw + xs[t]) * 3;
+        acc[0] += w[t] * p[0];
+        acc[1] += w[t] * p[1];
+        acc[2] += w[t] * p[2];
+      }
+      out[x * 3 + 0] = static_cast<uint8_t>(acc[0] + 0.5f);
+      out[x * 3 + 1] = static_cast<uint8_t>(acc[1] + 0.5f);
+      out[x * 3 + 2] = static_cast<uint8_t>(acc[2] + 0.5f);
+    }
+  }
+}
+
+// decode a JPEG to RGB. If shrink > 1, use libjpeg DCT prescale to decode
+// at roughly 1/shrink resolution (cheap). Returns 0 on success and fills
+// buf/w/h (and the full-resolution dims in fw/fh).
+int decode_jpeg(const char* path, float shrink, std::vector<uint8_t>* buf,
+                int* w, int* h, int* fw, int* fh) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  *fw = cinfo.image_width;
+  *fh = cinfo.image_height;
+  int num = 8;
+  // largest num with 8/num <= shrink (decode resolution stays >= needed)
+  while (num > 1 && 8.0f / (num - 1) <= shrink) --num;
+  cinfo.scale_num = num;
+  cinfo.scale_denom = 8;
+  jpeg_start_decompress(&cinfo);
+  const int sw = cinfo.output_width, sh = cinfo.output_height;
+  buf->resize(static_cast<size_t>(sw) * sh * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row =
+        buf->data() + static_cast<size_t>(cinfo.output_scanline) * sw * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  *w = sw;
+  *h = sh;
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Fused decode + affine crop: for each item, decode paths[i] (DCT-
+// prescaled to the crop's scale) and warp with the 2x3 dst->src matrix
+// mats[i*6..] (in FULL-RESOLUTION source pixel coords) into
+// out[i] (out_h, out_w, 3). The matrix is rescaled internally when the
+// DCT prescale kicks in. Threaded; returns failure count (failed slots
+// are zero-filled). This is the host half of the top-down input pipeline:
+// JPEG -> person crop in one pass, no full-size RGB round trip in Python.
+int tp_decode_warp_batch(const char** paths, const float* mats, int n,
+                         int out_h, int out_w, uint8_t* out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), failures(0);
+  const size_t stride = static_cast<size_t>(out_h) * out_w * 3;
+  auto work = [&]() {
+    std::vector<uint8_t> buf;
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const float* m = mats + static_cast<size_t>(i) * 6;
+      // source pixels per dst pixel (column norms) -> decode shrink
+      const float sx = std::sqrt(m[0] * m[0] + m[3] * m[3]);
+      const float sy = std::sqrt(m[1] * m[1] + m[4] * m[4]);
+      const float shrink = sx < sy ? sx : sy;
+      int w = 0, h = 0, fw = 0, fh = 0;
+      if (decode_jpeg(paths[i], shrink > 1.0f ? shrink : 1.0f, &buf, &w, &h,
+                      &fw, &fh)) {
+        failures.fetch_add(1);
+        std::memset(out + stride * i, 0, stride);
+        continue;
+      }
+      const float rx = static_cast<float>(w) / fw;
+      const float ry = static_cast<float>(h) / fh;
+      const float madj[6] = {m[0] * rx, m[1] * rx, m[2] * rx,
+                             m[3] * ry, m[4] * ry, m[5] * ry};
+      warp_affine(buf.data(), h, w, madj, out + stride * i, out_h, out_w);
+    }
+  };
+  std::vector<std::thread> pool;
+  const int t = n_threads < n ? n_threads : n;
+  pool.reserve(t);
+  for (int i = 0; i < t; ++i) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
 
 // Decode one JPEG to RGB and stretch-resize into out (out_h*out_w*3).
 // Uses libjpeg's DCT scaling (1/1..1/8) to decode near the target size

@@ -42,6 +42,28 @@ def get_affine_matrix(center, scale, rotation_deg, out_size):
     return jnp.concatenate([A, t[:, None]], axis=1)
 
 
+def get_affine_matrix_np(center, scale, rotation_deg, out_size):
+    """Pure-NumPy twin of get_affine_matrix for the HOST data path.
+
+    Dataset __getitem__ must never dispatch device ops: one tiny jnp call
+    per sample costs a full device round-trip (catastrophic through a TPU
+    tunnel — measured 115 ms/sample in bench config 2 before this).
+    Numerically identical to the jax version (tests/test_ops_affine.py).
+    """
+    import numpy as np
+
+    Ho, Wo = out_size
+    theta = np.deg2rad(rotation_deg)
+    cos, sin = np.cos(theta), np.sin(theta)
+    sx = scale[0] / Wo
+    sy = scale[1] / Ho
+    R = np.array([[cos, -sin], [sin, cos]], np.float64)
+    A = R * np.array([sx, sy])[None, :]
+    dst_c = np.array([Wo * 0.5, Ho * 0.5])
+    t = np.asarray(center, np.float64) - A @ dst_c
+    return np.concatenate([A, t[:, None]], axis=1).astype(np.float32)
+
+
 def affine_warp(image, matrix, out_size):
     """Warp one image (H, W, C) by a dst->src matrix to (Ho, Wo, C).
 

@@ -60,26 +60,45 @@ def quarter_offset_refine(heatmaps, coords):
     return coords + off * inner[..., None]
 
 
+def _band_matrix(n: int, kernel: jnp.ndarray) -> jnp.ndarray:
+    """(n, n) banded matrix equivalent to a zero-padded 1D convolution:
+    out[i] = sum_j kernel[j] * x[i + j - half]."""
+    ks = kernel.shape[0]
+    half = ks // 2
+    idx = jnp.arange(n)
+    # row i, column i + (j - half) gets kernel[j]
+    cols = idx[:, None] + (jnp.arange(ks)[None, :] - half)     # (n, ks)
+    valid = (cols >= 0) & (cols < n)
+    cols = jnp.clip(cols, 0, n - 1)
+    m = jnp.zeros((n, n), kernel.dtype)
+    rows = jnp.broadcast_to(idx[:, None], cols.shape)
+    return m.at[rows, cols].add(jnp.where(valid, kernel[None, :], 0.0))
+
+
 def gaussian_blur(heatmaps, kernel_size: int = 11, sigma: float = 2.0):
     """Separable Gaussian blur preserving per-map peak amplitude (DARK
-    modulation). heatmaps: (B, K, H, W)."""
+    modulation). heatmaps: (B, K, H, W).
+
+    TPU shape: a grouped conv over B*K tiny single-channel maps schedules
+    terribly (thousands of 1-channel convs on the VPU); the same math as
+    two banded MATMULS (blur_y @ hm @ blur_x^T) rides the MXU and is ~10x
+    faster at eval batch sizes (measured on v5e; kernels are (H,H)/(W,W)
+    trace-time constants)."""
     assert kernel_size % 2 == 1
     half = kernel_size // 2
     xs = jnp.arange(-half, half + 1, dtype=jnp.float32)
     k = jnp.exp(-(xs ** 2) / (2.0 * sigma * sigma))
-    k = (k / jnp.sum(k)).astype(heatmaps.dtype)
+    k = k / jnp.sum(k)
     B, K, H, W = heatmaps.shape
-    orig_max = jnp.max(heatmaps.reshape(B, K, -1), axis=-1)
-    x = heatmaps.reshape(B * K, 1, H, W)
-    kh = k.reshape(1, 1, kernel_size, 1)
-    kw = k.reshape(1, 1, 1, kernel_size)
-    dn = ("NCHW", "OIHW", "NCHW")
-    x = lax.conv_general_dilated(x, kh, (1, 1), [(half, half), (0, 0)], dimension_numbers=dn)
-    x = lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (half, half)], dimension_numbers=dn)
-    x = x.reshape(B, K, H, W)
+    hm = heatmaps.astype(jnp.float32)
+    orig_max = jnp.max(hm.reshape(B, K, -1), axis=-1)
+    by = _band_matrix(H, k)                                    # (H, H)
+    bx = _band_matrix(W, k)                                    # (W, W)
+    x = jnp.einsum("hH,bkHw->bkhw", by, hm)
+    x = jnp.einsum("bkhW,wW->bkhw", x, bx)
     new_max = jnp.max(x.reshape(B, K, -1), axis=-1)
     scale = orig_max / jnp.maximum(new_max, 1e-10)
-    return x * scale[..., None, None]
+    return (x * scale[..., None, None]).astype(heatmaps.dtype)
 
 
 def dark_refine(heatmaps, coords, blur_kernel: int = 11, sigma: float = 2.0):
