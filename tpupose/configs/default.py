@@ -75,6 +75,7 @@ class TrainConfig:
     output_dir: str = "output"
     experiment: str = "default"
     profile_dir: str = ""               # non-empty: jax.profiler trace of one step
+    tensorboard: bool = True            # tfevents scalars under <exp>/tb
 
 
 @dataclass

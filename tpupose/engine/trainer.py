@@ -106,6 +106,10 @@ class Trainer:
 
         exp_dir = os.path.join(cfg.train.output_dir, cfg.train.experiment)
         self.file_log = FileLogger(os.path.join(exp_dir, "log.txt"))
+        from tpupose.utils.tensorboard import SummaryWriter
+
+        self.tb = SummaryWriter(os.path.join(exp_dir, "tb")
+                                if cfg.train.tensorboard else "")
         self.ckpt = CheckpointManager(os.path.join(exp_dir, "ckpt"),
                                       interval=cfg.train.ckpt_interval)
         if cfg.model.checkpoint:
@@ -179,6 +183,7 @@ class Trainer:
                 meters.update(m)
                 printT(f"epoch {epoch} step {step + 1}/{self.steps_per_epoch} "
                        f"loss={m['loss']:.5f} gnorm={m['grad_norm']:.3f}")
+                self.tb.add_scalars(m, int(self.state.step), prefix="train/")
         if metrics is not None:
             jax.block_until_ready(metrics["loss"])
             m = jax.device_get(metrics)
@@ -187,6 +192,7 @@ class Trainer:
         ips = n_img / max(dt, 1e-9)
         printM(f"epoch {epoch}: {meters.format()} ({ips:.1f} img/s)")
         self.file_log.log(f"epoch {epoch}: {meters.format()} ({ips:.1f} img/s)")
+        self.tb.add_scalar("train/img_per_s", ips, int(self.state.step))
         return meters["loss"].avg if "loss" in meters._meters else float("inf")
 
     def validate(self) -> float:
@@ -294,14 +300,18 @@ class Trainer:
                 val_loss = self.validate()
                 printM(f"epoch {epoch}: val_loss={val_loss:.5f}")
                 self.file_log.log(f"epoch {epoch}: val_loss={val_loss:.5f}")
+                self.tb.add_scalar("val/loss", val_loss, int(self.state.step))
                 if self.family == "heatmap" and self.cfg.eval.run_metrics:
                     metrics = self.evaluate()
                     self.file_log.log(
                         f"epoch {epoch}: "
                         + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+                    self.tb.add_scalars(metrics, int(self.state.step),
+                                        prefix="eval/")
             self.ckpt.save(int(self.state.step), self.state, metric=train_loss,
                            epoch=epoch)
         self.ckpt.save(int(self.state.step), self.state, force=True)
+        self.tb.close()
         printS("training complete")
 
     # ------------------------------------------------------------------
