@@ -30,8 +30,13 @@ class CocoTopDownDataset:
                  scale_factor: float = 0.25, rotation_factor: float = 30.0,
                  flip_prob: float = 0.5, min_keypoints: int = 1,
                  padding: float = 1.25, seed: int = 0,
-                 decode_threads: int = 4):
+                 decode_threads: int = 4, flip_pairs=None):
         self.image_dir = image_dir
+        if flip_pairs is None:
+            from tpupose.engine.evaluator import COCO_FLIP_PAIRS
+
+            flip_pairs = COCO_FLIP_PAIRS
+        self.flip_pairs = np.asarray(flip_pairs, np.int64)
         self.image_size = tuple(image_size)   # (H, W)
         self.heatmap_size = tuple(heatmap_size)
         self.is_train = is_train
@@ -106,11 +111,16 @@ class CocoTopDownDataset:
         path = os.path.join(self.image_dir, file_name)
         return np.asarray(Image.open(path).convert("RGB"), np.uint8)
 
+    def _center_scale(self, s):
+        """Crop (center, scale) for one sample; COCO derives them from the
+        person bbox, subclasses may store them directly (MPII)."""
+        return self._box_to_center_scale(s["bbox"])
+
     def _sample_params(self, idx: int):
         """Draw augmentation params + labels for one instance (numpy-only:
         the host path must never dispatch device ops)."""
         s = self.samples[idx]
-        center, scale = self._box_to_center_scale(s["bbox"])
+        center, scale = self._center_scale(s)
         joints_src = s["joints"].copy()
         vis = s["visibility"].copy()
         rot = 0.0
@@ -133,9 +143,7 @@ class CocoTopDownDataset:
                 joints_src[:, 0] = s["width"] - 1 - joints_src[:, 0]
                 center = center.copy()
                 center[0] = s["width"] - 1 - center[0]
-                from tpupose.engine.evaluator import COCO_FLIP_PAIRS
-
-                for a, b in COCO_FLIP_PAIRS:
+                for a, b in self.flip_pairs:
                     joints_src[[a, b]] = joints_src[[b, a]]
                     vis[[a, b]] = vis[[b, a]]
         return s, center, scale, rot, flipped, joints_src, vis

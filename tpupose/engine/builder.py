@@ -174,6 +174,10 @@ class Builder:
             from tpupose.data.coco import CocoTopDownDataset
 
             return CocoTopDownDataset.from_config(self.cfg, split)
+        if d.name == "mpii":
+            from tpupose.data.mpii import MpiiTopDownDataset
+
+            return MpiiTopDownDataset.from_config(self.cfg, split)
         raise ValueError(f"unknown dataset {d.name!r}")
 
     def dataloader(self, dataset, split: str = "train"):

@@ -251,12 +251,16 @@ class Trainer:
         if getattr(self, "_evaluator", None) is None:
             from tpupose.engine.evaluator import TopDownEvaluator
 
+            # flip pairs come from the dataset (COCO/MPII define theirs);
+            # datasets without a joint-order convention flip unpaired.
+            pairs = getattr(self.valid_ds, "flip_pairs", None)
+            if pairs is None and self.cfg.model.num_keypoints != 17:
+                pairs = np.zeros((0, 2), np.int64)
             self._evaluator = TopDownEvaluator(
                 self.state, tuple(self.cfg.model.heatmap_size),
                 decode=self.cfg.eval.decode,
                 flip_test=self.cfg.eval.flip_test,
-                flip_pairs=(np.zeros((0, 2), np.int64)
-                            if self.cfg.model.num_keypoints != 17 else None),
+                flip_pairs=pairs,
                 blur_kernel=self.cfg.eval.blur_kernel,
                 sigma=self.cfg.data.sigma)
         self._evaluator.state = self.state
