@@ -288,23 +288,27 @@ def bench_video():
                              conf_threshold=0.01)
     tracker = PoseTracker()
     rng = np.random.RandomState(0)
-    frames = [rng.randint(0, 255, (1, H, W, 3)).astype(np.uint8)
-              for _ in range(8)]
-    pred(frames[0])  # compile
+    VB = 8  # frames per device batch (cli/video video_batch default)
+    batch = rng.randint(0, 255, (VB, H, W, 3)).astype(np.uint8)
 
-    t0 = time.perf_counter()
-    n = 0
-    for _ in range(4):
-        for f in frames:
-            det = pred(f)
-            v = det["valid"][0]
-            boxes = det["boxes"][0][v]
-            kpts = det["keypoints"][0][v]
+    def chunk():
+        """One video chunk exactly as cli/video runs it: batched device
+        detection, then causal per-frame host tracking."""
+        det = pred(batch)
+        for bi in range(VB):
+            v = det["valid"][bi]
+            boxes = det["boxes"][bi][v]
+            kpts = det["keypoints"][bi][v]
             feats = (kpts[..., :2].reshape(len(boxes), -1) / W
                      if len(boxes) else np.zeros((0, 2 * K)))
             tracker.update(boxes, feats, kpts)
-            n += 1
-    return {"video_fps": round(n / (time.perf_counter() - t0), 2)}
+        return det
+
+    dt = _steady_s(lambda: chunk(), lambda det: None, n1=2, n2=8)
+    # batch-1 streaming latency path for reference
+    f1 = batch[:1]
+    p50 = _latency_p50(lambda: pred(f1), lambda det: None, n=6)
+    return {"video_fps": round(VB / dt, 2), "stream_p50_ms_b1": round(p50, 2)}
 
 
 def main():

@@ -70,40 +70,65 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = ""):
     frames = natural_sort(
         p for e in ("*.jpg", "*.jpeg", "*.png")
         for p in glob.glob(os.path.join(frames_dir, e)))
+
+    # Detection is batched on device (VB frames per program — padding the
+    # tail keeps one compiled shape); tracking stays causal per frame on
+    # the host. Frame decode for the NEXT chunk overlaps the device pass
+    # for the current one via a one-deep thread prefetch.
+    VB = max(1, int(getattr(cfg.eval, "video_batch", 8)))
+
+    def load_chunk(chunk_paths):
+        pils = [Image.open(p).convert("RGB") for p in chunk_paths]
+        arr = np.stack([np.asarray(p.resize((W, H)), np.uint8) for p in pils])
+        if len(pils) < VB:  # static batch shape: repeat-pad the tail
+            arr = np.concatenate(
+                [arr, np.repeat(arr[-1:], VB - len(pils), axis=0)])
+        return pils, arr
+
+    chunks = [frames[i:i + VB] for i in range(0, len(frames), VB)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(load_chunk, chunks[0]) if chunks else None
+
     log_path = os.path.join(output_dir, "tracks.jsonl")
+    fi = 0
     with open(log_path, "w") as log:
-        for fi, p in enumerate(frames):
-            pil = Image.open(p).convert("RGB")
-            w0, h0 = pil.size
-            img = np.asarray(pil.resize((W, H)), np.uint8)
-            det = predictor(img[None])
-            v = det["valid"][0]
-            boxes = det["boxes"][0][v]
-            kpts = det["keypoints"][0][v]
-            # appearance embedding: normalized keypoint geometry + mean
-            # color at keypoints (cheap DINO-feature stand-in; swap in
-            # backbone features via models.meta.gaussian_pool when the
-            # backbone is wired for feature export)
-            feats = kpts[..., :2].reshape(len(boxes), -1) / max(H, W) \
-                if len(boxes) else np.zeros((0, 2 * cfg.model.num_keypoints))
-            tracks = tracker.update(boxes, feats, kpts)
-            log.write(json.dumps({
-                "frame": fi, "file": os.path.basename(p),
-                "tracks": [{"id": int(t), "box": b.tolist(),
-                            "keypoints": k.tolist()} for t, b, k in tracks],
-            }) + "\n")
-            # render
-            if tracks:
-                tk = np.stack([k for _, _, k in tracks])
-                tk[..., 0] *= w0 / W
-                tk[..., 1] *= h0 / H
-                out = draw_detections(np.asarray(pil, np.uint8), tk,
-                                      np.ones(len(tracks)),
-                                      np.ones(len(tracks), bool))
-            else:
-                out = np.asarray(pil, np.uint8)
-            Image.fromarray(out).save(os.path.join(output_dir, os.path.basename(p)))
-            printT(f"frame {fi}: {len(tracks)} tracks")
+        for ci, chunk in enumerate(chunks):
+            pils, arr = pending.result()
+            pending = (pool.submit(load_chunk, chunks[ci + 1])
+                       if ci + 1 < len(chunks) else None)
+            det = predictor(arr)
+            for bi, (p, pil) in enumerate(zip(chunk, pils)):
+                w0, h0 = pil.size
+                v = det["valid"][bi]
+                boxes = det["boxes"][bi][v]
+                kpts = det["keypoints"][bi][v]
+                # appearance embedding: normalized keypoint geometry (cheap
+                # DINO-feature stand-in; swap in backbone features via
+                # models.meta.gaussian_pool when feature export is wired)
+                feats = kpts[..., :2].reshape(len(boxes), -1) / max(H, W) \
+                    if len(boxes) else np.zeros((0, 2 * cfg.model.num_keypoints))
+                tracks = tracker.update(boxes, feats, kpts)
+                log.write(json.dumps({
+                    "frame": fi, "file": os.path.basename(p),
+                    "tracks": [{"id": int(t), "box": b.tolist(),
+                                "keypoints": k.tolist()} for t, b, k in tracks],
+                }) + "\n")
+                if tracks:
+                    tk = np.stack([k for _, _, k in tracks])
+                    tk[..., 0] *= w0 / W
+                    tk[..., 1] *= h0 / H
+                    out = draw_detections(np.asarray(pil, np.uint8), tk,
+                                          np.ones(len(tracks)),
+                                          np.ones(len(tracks), bool))
+                else:
+                    out = np.asarray(pil, np.uint8)
+                Image.fromarray(out).save(
+                    os.path.join(output_dir, os.path.basename(p)))
+                printT(f"frame {fi}: {len(tracks)} tracks")
+                fi += 1
+    pool.shutdown()
     printS(f"{len(frames)} frames -> {output_dir} (log: {log_path})")
 
 

@@ -89,6 +89,7 @@ class EvalConfig:
     conf_threshold: float = 0.25
     iou_threshold: float = 0.45
     max_detections: int = 100
+    video_batch: int = 8                # frames per device batch (cli/video)
     interval: int = 1
     run_metrics: bool = False           # metric eval each interval (heatmap)
     # metric set for Trainer.evaluate / --test: names from tpupose.metrics
