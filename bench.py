@@ -28,6 +28,20 @@ import numpy as np
 REFERENCE_IPS = 1806.0   # derived torch-forward figure; see module docstring
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the five configs compile several big
+    programs (minutes through a remote-compile tunnel); repeat runs hit
+    the cache and go straight to measurement."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax: cache flags absent — benign
+
+
 def _steady_s(call, probe, n1: int = 4, n2: int = 16):
     """Steady-state seconds per iteration.
 
@@ -312,6 +326,7 @@ def bench_video():
 
 
 def main():
+    _enable_compile_cache()
     quick = "--quick" in sys.argv
     r50 = bench_r50_infer()
     extra = {"r50_infer": r50}
