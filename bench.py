@@ -304,11 +304,16 @@ def bench_video():
     rng = np.random.RandomState(0)
     VB = 8  # frames per device batch (cli/video video_batch default)
     batch = rng.randint(0, 255, (VB, H, W, 3)).astype(np.uint8)
+    holder = {"dev": jax.device_put(batch)}
 
     def chunk():
         """One video chunk exactly as cli/video runs it: batched device
-        detection, then causal per-frame host tracking."""
-        det = pred(batch)
+        detection on an already-transferred batch, the NEXT chunk's H2D
+        transfer started first (async, overlaps the device pass), then
+        causal per-frame host tracking."""
+        cur = holder["dev"]
+        holder["dev"] = jax.device_put(batch)   # next chunk's transfer
+        det = pred(cur)
         for bi in range(VB):
             v = det["valid"][bi]
             boxes = det["boxes"][bi][v]

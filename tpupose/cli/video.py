@@ -83,7 +83,10 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = ""):
         if len(pils) < VB:  # static batch shape: repeat-pad the tail
             arr = np.concatenate(
                 [arr, np.repeat(arr[-1:], VB - len(pils), axis=0)])
-        return pils, arr
+        # start the H2D transfer here (async) so it overlaps the device
+        # pass on the PREVIOUS chunk — the hot loop then consumes an
+        # already-committed device array.
+        return pils, jax.device_put(arr)
 
     chunks = [frames[i:i + VB] for i in range(0, len(frames), VB)]
     from concurrent.futures import ThreadPoolExecutor
