@@ -111,10 +111,8 @@ class TopDownEvaluator:
         groups: dict = {}
         next_id = 0
         for batch in loader:
-            coords, scores = self.step(batch["images"], batch["center"],
-                                       batch["scale"])
-            coords = np.asarray(coords)
-            scores = np.asarray(scores)
+            coords, scores = jax.device_get(
+                self.step(batch["images"], batch["center"], batch["scale"]))
             keep = np.asarray(batch["pad_mask"]).astype(bool) \
                 if "pad_mask" in batch else np.ones(len(coords), bool)
             coords, scores = coords[keep], scores[keep]

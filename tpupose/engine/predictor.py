@@ -39,10 +39,9 @@ class HeatmapPredictor:
             centers = np.tile([[W / 2, H / 2]], (B, 1)).astype(np.float32)
         if scales is None:
             scales = np.tile([[W, H]], (B, 1)).astype(np.float32)
-        coords, scores = self._ev._step(
+        return jax.device_get(self._ev._step(
             self._ev.state, jnp.asarray(images), jnp.asarray(centers),
-            jnp.asarray(scales))
-        return np.asarray(coords), np.asarray(scores)
+            jnp.asarray(scales)))
 
 
 class YoloPosePredictor:
