@@ -152,7 +152,8 @@ def _write_fake_coco(root, n_images=256, img_hw=(480, 640)):
         _json.dump({"images": images, "annotations": anns}, f)
 
 
-def _train_step_rate(model, batch, heatmap_size, jitter=0.2):
+def _train_step_rate(model, batch, heatmap_size, jitter=0.2,
+                     affine=(0.0, 0.0)):
     import jax
     import jax.numpy as jnp
     import optax
@@ -168,7 +169,9 @@ def _train_step_rate(model, batch, heatmap_size, jitter=0.2):
                                jnp.zeros((1, H, W, 3)), tx)
     step = make_heatmap_train_step(joints_mse_loss,
                                    color_jitter_strength=jitter,
-                                   heatmap_size=heatmap_size)
+                                   heatmap_size=heatmap_size,
+                                   affine_rotation=affine[0],
+                                   affine_scale=affine[1])
     import jax as _jax
 
     dev = _jax.tree_util.tree_map(_jax.device_put, batch)
@@ -230,7 +233,8 @@ def bench_r50_train(tmp="/tmp/bench_coco"):
 
 
 # ---------------------------------------------------------------------------
-# config 3: HRNet-W32 256x192 training
+# config 3: HRNet-W32 256x192 training (+ on-device affine augmentation,
+# the config's named pipeline: rotation/scale warp fused into the step)
 # ---------------------------------------------------------------------------
 
 def bench_hrnet_w32_train():
@@ -247,7 +251,7 @@ def bench_hrnet_w32_train():
         "visibility": np.ones((B, K), np.float32),
     }
     return {"train_img_per_s": round(_train_step_rate(
-        model, batch, heatmap_size=(64, 48)), 2)}
+        model, batch, heatmap_size=(64, 48), affine=(45.0, 0.35)), 2)}
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,10 @@ class DataConfig:
     rotation_factor: float = 30.0
     flip_prob: float = 0.5
     color_jitter: float = 0.2
+    # True: rotation/scale augmentation runs INSIDE the jitted train step
+    # (ops/affine.random_affine_augment); the host ships the canonical
+    # crop and only applies the flip. False: classic host-side aug.
+    device_affine: bool = False
     sigma: float = 2.0                  # Gaussian target sigma
     # few-shot episodic options (reference: HPE/configs/default.py:21-53)
     n_way: int = 5

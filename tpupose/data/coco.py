@@ -30,7 +30,12 @@ class CocoTopDownDataset:
                  scale_factor: float = 0.25, rotation_factor: float = 30.0,
                  flip_prob: float = 0.5, min_keypoints: int = 1,
                  padding: float = 1.25, seed: int = 0,
-                 decode_threads: int = 4, flip_pairs=None):
+                 decode_threads: int = 4, flip_pairs=None,
+                 augment_geometry: bool = True):
+        # augment_geometry=False: host applies only the flip — rotation/
+        # scale jitter runs on device inside the train step
+        # (cfg.data.device_affine, ops/affine.random_affine_augment).
+        self.augment_geometry = augment_geometry
         self.image_dir = image_dir
         if flip_pairs is None:
             from tpupose.engine.evaluator import COCO_FLIP_PAIRS
@@ -86,6 +91,7 @@ class CocoTopDownDataset:
             is_train=(split == "train"),
             scale_factor=d.scale_factor, rotation_factor=d.rotation_factor,
             flip_prob=d.flip_prob, seed=cfg.train.seed,
+            augment_geometry=not getattr(d, "device_affine", False),
         )
 
     def __len__(self):
@@ -131,13 +137,14 @@ class CocoTopDownDataset:
                 r_rotp = self._rng.rand()
                 r_rot = self._rng.randn()
                 r_flip = self._rng.rand()
-            scale = scale * np.clip(
-                1.0 + r_scale * self.scale_factor,
-                1 - self.scale_factor, 1 + self.scale_factor)
-            if r_rotp < 0.6:
-                rot = float(np.clip(r_rot * self.rotation_factor,
-                                    -2 * self.rotation_factor,
-                                    2 * self.rotation_factor))
+            if self.augment_geometry:
+                scale = scale * np.clip(
+                    1.0 + r_scale * self.scale_factor,
+                    1 - self.scale_factor, 1 + self.scale_factor)
+                if r_rotp < 0.6:
+                    rot = float(np.clip(r_rot * self.rotation_factor,
+                                        -2 * self.rotation_factor,
+                                        2 * self.rotation_factor))
             if r_flip < self.flip_prob:
                 flipped = True
                 joints_src[:, 0] = s["width"] - 1 - joints_src[:, 0]

@@ -44,7 +44,7 @@ class MpiiTopDownDataset(CocoTopDownDataset):
                  heatmap_size=(64, 64), is_train: bool = True,
                  scale_factor: float = 0.25, rotation_factor: float = 30.0,
                  flip_prob: float = 0.5, padding: float = 1.25, seed: int = 0,
-                 decode_threads: int = 4):
+                 decode_threads: int = 4, augment_geometry: bool = True):
         # deliberately NOT calling super().__init__ (different parse); set
         # the fields the shared machinery reads.
         self.image_dir = image_dir
@@ -56,6 +56,7 @@ class MpiiTopDownDataset(CocoTopDownDataset):
         self.flip_prob = flip_prob
         self.padding = padding
         self.decode_threads = decode_threads
+        self.augment_geometry = augment_geometry
         self.flip_pairs = MPII_FLIP_PAIRS
         self._rng = np.random.RandomState(seed)
         import threading
@@ -100,6 +101,7 @@ class MpiiTopDownDataset(CocoTopDownDataset):
             is_train=(split == "train"),
             scale_factor=d.scale_factor, rotation_factor=d.rotation_factor,
             flip_prob=d.flip_prob, seed=cfg.train.seed,
+            augment_geometry=not getattr(d, "device_affine", False),
         )
 
     def _center_scale(self, s):

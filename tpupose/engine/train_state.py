@@ -56,7 +56,9 @@ def create_train_state(model, rng, sample_input, tx, train: bool = False) -> Tra
 
 def make_heatmap_train_step(loss_fn, color_jitter_strength: float = 0.0,
                             jitter_seed: int = 0, heatmap_size=None,
-                            sigma: float = 2.0):
+                            sigma: float = 2.0,
+                            affine_rotation: float = 0.0,
+                            affine_scale: float = 0.0):
     """Build the jitted train step for heatmap models.
 
     batch: {"images": uint8/float NHWC} plus EITHER precomputed
@@ -70,25 +72,43 @@ def make_heatmap_train_step(loss_fn, color_jitter_strength: float = 0.0,
     compiled step (north-star "fused XLA image kernels": brightness/
     contrast/saturation fuse into the normalize + first conv, zero extra
     HBM round-trips). Labels are geometric — jitter never touches them.
-    The jitter rng is folded from the step counter: deterministic resume.
+    affine_rotation/affine_scale > 0 additionally run the random
+    rotation/scale augmentation as a batched on-device warp
+    (ops/affine.random_affine_augment), transforming the joint labels in
+    lockstep BEFORE the in-step Gaussian render. All aug rngs are folded
+    from the step counter: deterministic resume.
     """
     import jax.numpy as _jnp
 
+    from tpupose.ops.affine import random_affine_augment
     from tpupose.ops.heatmap import gaussian_heatmaps
     from tpupose.ops.preprocess import (IMAGENET_MEAN, IMAGENET_STD,
                                         color_jitter, normalize_images)
 
+    use_affine = (affine_rotation > 0 or affine_scale > 0)
+
     def train_step(state: TrainState, batch):
+        if use_affine and "target" in batch:
+            raise ValueError("device affine augmentation needs raw "
+                             "joints, not precomputed targets")
+        rng = jax.random.fold_in(jax.random.PRNGKey(jitter_seed), state.step)
+        rng_aff, rng_jit = jax.random.split(rng)
+        images = batch["images"]
+        if use_affine:
+            assert heatmap_size is not None, "device affine needs heatmap_size"
+            batch = dict(batch)
+            images, batch["joints"], batch["visibility"] = \
+                random_affine_augment(
+                    images, batch["joints"], batch["visibility"], rng_aff,
+                    affine_rotation, affine_scale, tuple(heatmap_size))
         if color_jitter_strength > 0:
-            x = batch["images"].astype(_jnp.float32) * (1.0 / 255.0)
-            rng = jax.random.fold_in(jax.random.PRNGKey(jitter_seed),
-                                     state.step)
-            x = color_jitter(x, rng, color_jitter_strength)
+            x = images.astype(_jnp.float32) * (1.0 / 255.0)
+            x = color_jitter(x, rng_jit, color_jitter_strength)
             m = _jnp.asarray(IMAGENET_MEAN)
             s = _jnp.asarray(IMAGENET_STD)
             imgs = ((x - m) / s).astype(_jnp.bfloat16)
         else:
-            imgs = normalize_images(batch["images"])
+            imgs = normalize_images(images)
         if "target" in batch:
             batch = dict(batch)
         else:

@@ -96,12 +96,15 @@ class Trainer:
 
             self.val_step = jax.jit(_val_step)
         else:
+            dev_aff = getattr(cfg.data, "device_affine", False)
             self.train_step = make_heatmap_train_step(
                 self.loss_fn,
                 color_jitter_strength=cfg.data.color_jitter,
                 jitter_seed=cfg.train.seed,
                 heatmap_size=tuple(cfg.model.heatmap_size),
-                sigma=cfg.data.sigma)
+                sigma=cfg.data.sigma,
+                affine_rotation=cfg.data.rotation_factor if dev_aff else 0.0,
+                affine_scale=cfg.data.scale_factor if dev_aff else 0.0)
             self.eval_step = make_heatmap_eval_step()
 
         exp_dir = os.path.join(cfg.train.output_dir, cfg.train.experiment)

@@ -124,6 +124,72 @@ def invert_affine(matrix):
     return jnp.concatenate([Ainv, tinv[:, None]], axis=1)
 
 
+def random_affine_augment(images, joints, visibility, rng,
+                          rotation_factor: float, scale_factor: float,
+                          heatmap_size, rot_prob: float = 0.6):
+    """Random rotation/scale augmentation INSIDE the compiled train step.
+
+    The reference (and the classic MSRA pipeline) draws scale/rotation on
+    the host and folds them into the cv2 crop. Here the host ships the
+    canonical (un-jittered) crop and the augmentation runs as one batched
+    bilinear warp on device (north star: "on-device affine augmentation
+    pipeline", BASELINE.json config 3) — fused by XLA with the normalize
+    and the first conv's input pipeline.
+
+    Parameter draws follow the host path exactly
+    (tpupose/data/coco.py _sample_params): scale multiplier
+    clip(1 + N(0,1)*sf, 1-sf, 1+sf); rotation clip(N(0,1)*rf, ±2rf) with
+    probability 0.6, else 0.
+
+    Geometry: crop aspect is fixed (sx == sy), so the jitter composes in
+    crop space as dst->src = c + m*R(θ)·(dst − c) about the crop center;
+    joints (heatmap px, same uniform scale) move by the inverse:
+    j' = c_hm + R(−θ)/m · (j − c_hm). Joints leaving the heatmap get
+    visibility 0 (matches the host path's inside-crop rule).
+
+    Args:
+      images: (B, H, W, C) uint8/float crop batch.
+      joints: (B, K, 2) keypoint coords in heatmap pixels.
+      visibility: (B, K).
+      rng: PRNGKey (fold per step for deterministic resume).
+      heatmap_size: static (Hh, Wh).
+
+    Returns: (images float32, joints (B,K,2), visibility (B,K)).
+    """
+    B, H, W = images.shape[0], images.shape[1], images.shape[2]
+    Hh, Wh = heatmap_size
+    r_s, r_r, r_p = jax.random.split(rng, 3)
+    mult = jnp.clip(1.0 + jax.random.normal(r_s, (B,)) * scale_factor,
+                    1.0 - scale_factor, 1.0 + scale_factor)
+    rot = jnp.clip(jax.random.normal(r_r, (B,)) * rotation_factor,
+                   -2.0 * rotation_factor, 2.0 * rotation_factor)
+    rot = jnp.where(jax.random.uniform(r_p, (B,)) < rot_prob, rot, 0.0)
+
+    theta = jnp.deg2rad(rot)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # image warp dst->src: A = m*R(θ)  (B, 2, 2)
+    A = mult[:, None, None] * jnp.stack(
+        [jnp.stack([cos, -sin], -1), jnp.stack([sin, cos], -1)], -2)
+    c_img = jnp.array([W * 0.5, H * 0.5])
+    t = c_img[None, :] - jnp.einsum("bij,j->bi", A, c_img)
+    mats = jnp.concatenate([A, t[..., None]], axis=-1)  # (B, 2, 3)
+    # Pallas MXU warp on TPU (14x the XLA gather path), XLA elsewhere
+    from tpupose.ops.pallas_warp import affine_warp_auto
+
+    out = affine_warp_auto(images, mats, (H, W))
+
+    # joints move by the inverse map (forward transform of content)
+    inv_m = 1.0 / mult
+    Ainv = inv_m[:, None, None] * jnp.stack(
+        [jnp.stack([cos, sin], -1), jnp.stack([-sin, cos], -1)], -2)
+    c_hm = jnp.array([Wh * 0.5, Hh * 0.5])
+    jnew = jnp.einsum("bij,bkj->bki", Ainv, joints - c_hm) + c_hm
+    inside = ((jnew[..., 0] >= 0) & (jnew[..., 0] < Wh)
+              & (jnew[..., 1] >= 0) & (jnew[..., 1] < Hh))
+    vis = visibility * inside.astype(visibility.dtype)
+    return out, jnew, vis
+
+
 def transform_preds(coords, center, scale, heatmap_size):
     """Map heatmap-space keypoint coords back to original-image space.
 
