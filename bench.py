@@ -331,7 +331,39 @@ def bench_video():
     # batch-1 streaming latency path for reference
     f1 = batch[:1]
     p50 = _latency_p50(lambda: pred(f1), lambda det: None, n=6)
-    return {"video_fps": round(VB / dt, 2), "stream_p50_ms_b1": round(p50, 2)}
+    out = {"video_fps": round(VB / dt, 2), "stream_p50_ms_b1": round(p50, 2)}
+
+    # two-stage variant (the config's literal shape): detector boxes ->
+    # Pallas device crops -> batched SimpleBaseline-R50 top-down pose
+    from tpupose.engine.two_stage import TwoStagePosePredictor
+    from tpupose.models.simple_baseline import SimpleBaseline
+
+    pmodel = SimpleBaseline(backbone="resnet50", num_keypoints=17,
+                            dtype=jnp.bfloat16)
+    pstate = create_train_state(pmodel, jax.random.PRNGKey(1),
+                                jnp.zeros((1, 256, 192, 3)), optax.sgd(0.0))
+    ts = TwoStagePosePredictor(pstate, crop_size=(256, 192),
+                               heatmap_size=(64, 48), max_persons=16)
+    tracker2 = PoseTracker()   # feature dim differs from stage-1 tracker
+
+    def chunk2():
+        cur = holder["dev"]
+        holder["dev"] = jax.device_put(batch)
+        det = pred(cur)
+        coords, ps = ts.pose_from_boxes(cur, det["boxes"][:, :16],
+                                        det["valid"][:, :16])
+        for bi in range(VB):
+            v = det["valid"][bi, :16]
+            boxes = det["boxes"][bi, :16][v]
+            kpts = np.concatenate([coords[bi][v], ps[bi][v][..., None]], -1)
+            feats = (kpts[..., :2].reshape(len(boxes), -1) / W
+                     if len(boxes) else np.zeros((0, 34)))
+            tracker2.update(boxes, feats, kpts)
+        return coords
+
+    dt2 = _steady_s(lambda: chunk2(), lambda c: None, n1=2, n2=8)
+    out["two_stage_fps"] = round(VB / dt2, 2)
+    return out
 
 
 def main():

@@ -33,7 +33,8 @@ def natural_sort(paths):
     return sorted(paths, key=key)
 
 
-def run_video(cfg, frames_dir: str, output_dir: str, weights: str = ""):
+def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
+              pose_cfg: str = "", pose_ckpt: str = ""):
     import jax
     import jax.numpy as jnp
     import optax
@@ -66,6 +67,34 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = ""):
         max_detections=cfg.eval.max_detections,
         has_box_branch=(cfg.model.reg_max > 0 or cfg.loss.name == "v8_pose"))
     tracker = PoseTracker()
+
+    # Optional two-stage refinement (BASELINE config 5's literal shape:
+    # detector crops -> batched top-down pose): a second config names the
+    # heatmap model; crops are warped out of the frame ON DEVICE
+    # (ops/pallas_warp) and the detector's keypoints are replaced by the
+    # top-down model's.
+    two_stage = None
+    n_kpts = cfg.model.num_keypoints
+    if pose_cfg:
+        from tpupose.configs import load_config
+        from tpupose.engine.two_stage import TwoStagePosePredictor
+
+        pcfg = load_config(pose_cfg)
+        pbuilder = Builder(pcfg)
+        pmodel = pbuilder.model()
+        pH, pW = pcfg.data.image_size
+        pstate = create_train_state(pmodel, jax.random.PRNGKey(1),
+                                    jnp.zeros((1, pH, pW, 3), jnp.float32),
+                                    optax.sgd(0.0))
+        if pose_ckpt:
+            mgr = CheckpointManager(pose_ckpt)
+            pstate, _ = mgr.restore(pstate)
+            mgr.close()
+        two_stage = TwoStagePosePredictor(
+            pstate, crop_size=(pH, pW),
+            heatmap_size=tuple(pcfg.model.heatmap_size),
+            max_persons=min(cfg.eval.max_detections, 16))
+        n_kpts = pcfg.model.num_keypoints
 
     frames = natural_sort(
         p for e in ("*.jpg", "*.jpeg", "*.png")
@@ -102,6 +131,14 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = ""):
             pending = (pool.submit(load_chunk, chunks[ci + 1])
                        if ci + 1 < len(chunks) else None)
             det = predictor(arr)
+            if two_stage is not None:
+                D = two_stage.max_persons
+                coords, pscores = two_stage.pose_from_boxes(
+                    arr, det["boxes"][:, :D], det["valid"][:, :D])
+                det = {"boxes": det["boxes"][:, :D],
+                       "valid": det["valid"][:, :D],
+                       "keypoints": np.concatenate(
+                           [coords, pscores[..., None]], -1)}
             for bi, (p, pil) in enumerate(zip(chunk, pils)):
                 w0, h0 = pil.size
                 v = det["valid"][bi]
@@ -111,7 +148,7 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = ""):
                 # DINO-feature stand-in; swap in backbone features via
                 # models.meta.gaussian_pool when feature export is wired)
                 feats = kpts[..., :2].reshape(len(boxes), -1) / max(H, W) \
-                    if len(boxes) else np.zeros((0, 2 * cfg.model.num_keypoints))
+                    if len(boxes) else np.zeros((0, 2 * n_kpts))
                 tracks = tracker.update(boxes, feats, kpts)
                 log.write(json.dumps({
                     "frame": fi, "file": os.path.basename(p),
@@ -141,14 +178,16 @@ def main(argv=None):
     rest = []
     for item in args.opts:
         k, v = item.split("=", 1)
-        if k in ("frames_dir", "output_dir"):
+        if k in ("frames_dir", "output_dir", "pose_cfg", "pose_ckpt"):
             extra[k] = v
         else:
             rest.append(item)
     args.opts = rest
     cfg = update_config(default_config(), args)
     run_video(cfg, extra.get("frames_dir", "frames"),
-              extra.get("output_dir", "tracked"), args.ckpt)
+              extra.get("output_dir", "tracked"), args.ckpt,
+              pose_cfg=extra.get("pose_cfg", ""),
+              pose_ckpt=extra.get("pose_ckpt", ""))
     return 0
 
 

@@ -110,6 +110,62 @@ def pallas_affine_warp(images, matrices, out_size, interpret: bool = False):
     return jnp.transpose(out, (0, 2, 3, 1))  # back to NHWC
 
 
+def pallas_crops_from_frames(frames, matrices, out_size,
+                             interpret: bool = False):
+    """D affine crops out of EACH frame:
+    (B,Hs,Ws,C),(B*D,2,3) -> (B*D,Ho,Wo,C), crop n reading frame n // D.
+
+    The detector-crops -> batched-pose stage of the two-stage video
+    pipeline (BASELINE config 5): person boxes become dst->src matrices
+    and each frame is warped D ways WITHOUT materializing D frame copies —
+    crop n's source block maps to its frame in VMEM (n // D is a static
+    function of the grid index, so no scalar prefetch is needed).
+    """
+    B, Hs, Ws, C = frames.shape
+    N = matrices.shape[0]
+    if N % B:
+        raise ValueError(f"matrices ({N}) must be a multiple of frames ({B})")
+    D = N // B
+    Ho, Wo = out_size
+    if Ho % TILE:
+        raise ValueError(f"pallas warp needs Ho % {TILE} == 0, got {Ho}")
+    src = jnp.transpose(frames.astype(jnp.float32), (0, 3, 1, 2))  # B,C,H,W
+    matrices = matrices.astype(jnp.float32)
+    out = pl.pallas_call(
+        _warp_kernel,
+        grid=(N, Ho // TILE),
+        in_specs=[
+            pl.BlockSpec((1, 2, 3), lambda n, t: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, Hs, Ws), lambda n, t: (n // D, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, TILE, Wo), lambda n, t: (n, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, C, Ho, Wo), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * Ho * Wo * Hs * Ws * C,
+            bytes_accessed=int(frames.size * 4 + N * Ho * Wo * C * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(matrices, src)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def crops_from_frames_auto(frames, matrices, out_size):
+    """Device crops of a frame batch: Pallas on TPU, XLA warp elsewhere."""
+    Ho, _ = out_size
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu and Ho % TILE == 0:
+        return pallas_crops_from_frames(frames, matrices, out_size)
+    from tpupose.ops.affine import batched_affine_warp
+
+    B = frames.shape[0]
+    D = matrices.shape[0] // B
+    rep = jnp.repeat(frames.astype(jnp.float32), D, axis=0)
+    return batched_affine_warp(rep, matrices, out_size)
+
+
 def affine_warp_auto(images, matrices, out_size):
     """Fastest available batched warp: the Pallas MXU kernel on TPU, the
     XLA gather path elsewhere (CPU tests, odd sizes)."""
