@@ -1,0 +1,40 @@
+"""Inference/visualization CLI (HPE/test.py analog): resize -> fused
+forward+NMS -> rescale -> headless render."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.mark.slow
+def test_run_inference_writes_renders(tmp_path):
+    imgs = tmp_path / "imgs"
+    out = tmp_path / "viz"
+    imgs.mkdir()
+    rng = np.random.RandomState(0)
+    names = ["a.jpg", "b.png"]
+    for n in names:
+        Image.fromarray(rng.randint(0, 255, (80, 100, 3)).astype(np.uint8)
+                        ).save(imgs / n)
+
+    from tpupose.cli.test import run_inference
+    from tpupose.configs.default import Config
+
+    cfg = Config()
+    cfg.model.name = "dinov3_pose"
+    cfg.model.backbone = "dinov3_convnext_atto"
+    cfg.model.num_keypoints = 4
+    cfg.model.num_classes = 2
+    cfg.model.neck_channels = [48, 96, 192]
+    cfg.data.image_size = [64, 64]
+    cfg.train.mixed_precision = False
+    cfg.eval.conf_threshold = 0.0   # random weights: keep detections
+    run_inference(cfg, str(imgs), str(out))
+
+    for n in names:
+        p = out / n
+        assert os.path.exists(p)
+        # rendered at the ORIGINAL resolution, not the model input size
+        assert Image.open(p).size == (100, 80)

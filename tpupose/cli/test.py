@@ -62,13 +62,13 @@ def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
 
     import jax
     import jax.numpy as jnp
+    import optax
     from PIL import Image
 
     from tpupose.engine.builder import Builder
     from tpupose.engine.checkpoint import CheckpointManager
+    from tpupose.engine.predictor import YoloPosePredictor
     from tpupose.engine.train_state import create_train_state
-    from tpupose.ops.nms import batched_pose_nms
-    from tpupose.ops.preprocess import normalize_images
 
     os.makedirs(output_dir, exist_ok=True)
     builder = Builder(cfg)
@@ -76,8 +76,6 @@ def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
     H, W = cfg.data.image_size
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((1, H, W, 3), jnp.float32)
-    import optax
-
     state = create_train_state(model, rng, sample, optax.sgd(0.0))
     if weights:
         mgr = CheckpointManager(weights)
@@ -86,16 +84,17 @@ def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
     else:
         printW("no --ckpt given: running with random weights")
 
-    K = cfg.model.num_keypoints
-    nc = cfg.model.num_classes
-
-    @jax.jit
-    def infer(images):
-        x = normalize_images(images, scale_only=True)
-        dec = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            x, train=False)  # (B, A, nc + 3K)
-        return dec
+    # forward (+ kpt-extent or DFL boxes) + on-device NMS is ONE compiled
+    # program with a single host fetch (engine/predictor.py) — the
+    # reference's host-side conf-filter/NMS loop (HPE/test.py:69-185)
+    # fused on device.
+    predictor = YoloPosePredictor(
+        state, num_classes=cfg.model.num_classes,
+        num_keypoints=cfg.model.num_keypoints,
+        conf_threshold=cfg.eval.conf_threshold,
+        iou_threshold=cfg.eval.iou_threshold,
+        max_detections=cfg.eval.max_detections,
+        has_box_branch=(cfg.model.reg_max > 0 or cfg.loss.name == "v8_pose"))
 
     paths = sorted(
         p for ext in ("*.jpg", "*.jpeg", "*.png")
@@ -104,32 +103,14 @@ def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
         pil = Image.open(p).convert("RGB")
         w0, h0 = pil.size
         img = np.asarray(pil.resize((W, H)), np.uint8)
-        dec = np.asarray(infer(jnp.asarray(img[None])))[0]  # (A, [4+]nc+3K)
-        # v8-style heads (model.reg_max>0) decode real boxes first
-        off = 4 if (cfg.model.reg_max > 0 or cfg.loss.name == "v8_pose") else 0
-        cls_scores = dec[:, off:off + nc]
-        scores = cls_scores.max(-1)
-        classes = cls_scores.argmax(-1).astype(np.int32)
-        kpts = dec[:, off + nc:].reshape(-1, K, 3)
-        if off:
-            cx, cy, w, h = dec[:, 0], dec[:, 1], dec[:, 2], dec[:, 3]
-            boxes = np.stack([cx - w / 2, cy - h / 2,
-                              cx + w / 2, cy + h / 2], axis=-1)
-        else:
-            # kpt-extent boxes for NMS (HPE/test.py:156-165)
-            xs, ys = kpts[..., 0], kpts[..., 1]
-            boxes = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=-1)
-        ob, os_, oc, ok, ov = batched_pose_nms(
-            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
-            jnp.asarray(kpts), iou_threshold=cfg.eval.iou_threshold,
-            conf_threshold=cfg.eval.conf_threshold,
-            max_det=cfg.eval.max_detections)
-        ok = np.array(ok)  # writable host copy
-        ov = np.asarray(ov)
+        det = predictor(img[None])
+        ok = det["keypoints"][0].copy()
+        ov = det["valid"][0]
         # rescale to original resolution (HPE/test.py:356-361)
         ok[..., 0] *= w0 / W
         ok[..., 1] *= h0 / H
-        out = draw_detections(np.asarray(pil, np.uint8), ok, np.asarray(os_), ov)
+        out = draw_detections(np.asarray(pil, np.uint8), ok,
+                              det["scores"][0], ov)
         out_path = os.path.join(output_dir, os.path.basename(p))
         Image.fromarray(out).save(out_path)
         printT(f"{p}: {int(ov.sum())} detections -> {out_path}")
