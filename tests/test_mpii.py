@@ -36,6 +36,7 @@ def _write_mpii(root, n=3, seed=0):
     for split in ("train", "valid"):
         with open(os.path.join(root, "annot", f"{split}.json"), "w") as f:
             json.dump(anns, f)
+    _write_mpii.last_anns = anns
     return anns
 
 
@@ -51,9 +52,13 @@ def test_parse_conventions(tmp_path):
     assert s["center0"][0] == pytest.approx(60.0)
     assert s["center0"][1] == pytest.approx(50.0 + 15 * 0.4)
     assert float(s["scale0"]) == pytest.approx(0.4 * 1.25)
-    # pixel box: scale*200 square, aspect 1, extra 1.25 padding
+    # joints are 1-based in the json too
+    raw = np.asarray(_write_mpii.last_anns[0]["joints"], np.float32)
+    np.testing.assert_allclose(s["joints"], raw - 1.0, atol=1e-5)
+    # pixel box: scale*200 square, aspect 1 — NO extra padding (the MSRA
+    # *1.25 above is the only loosening)
     c, sc = ds._center_scale(s)
-    assert sc[0] == pytest.approx(0.4 * 1.25 * 200 * 1.25)
+    assert sc[0] == pytest.approx(0.4 * 1.25 * 200)
     assert sc[0] == pytest.approx(sc[1])
 
 

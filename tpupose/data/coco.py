@@ -50,10 +50,14 @@ class CocoTopDownDataset:
         self.flip_prob = flip_prob
         self.padding = padding
         self.decode_threads = decode_threads
-        self._rng = np.random.RandomState(seed)
+        # augmentation rng is derived per (seed, sample, visit) so draws
+        # are identical no matter which loader worker thread lands on the
+        # sample first (each index is visited once per epoch)
+        self._seed = int(seed)
+        self._visits: dict = {}
         import threading
 
-        self._rng_lock = threading.Lock()  # loader workers draw concurrently
+        self._rng_lock = threading.Lock()  # guards the visit counter
 
         with open(ann_file) as f:
             coco = json.load(f)
@@ -133,10 +137,14 @@ class CocoTopDownDataset:
         flipped = False
         if self.is_train:
             with self._rng_lock:
-                r_scale = self._rng.randn()
-                r_rotp = self._rng.rand()
-                r_rot = self._rng.randn()
-                r_flip = self._rng.rand()
+                visit = self._visits.get(idx, 0)
+                self._visits[idx] = visit + 1
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self._seed, idx, visit]))
+            r_scale = rng.standard_normal()
+            r_rotp = rng.random()
+            r_rot = rng.standard_normal()
+            r_flip = rng.random()
             if self.augment_geometry:
                 scale = scale * np.clip(
                     1.0 + r_scale * self.scale_factor,

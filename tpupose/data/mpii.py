@@ -12,11 +12,12 @@ center/scale conventions, and reuses the whole COCO top-down machinery
 flip augmentation, heatmap-coord labels).
 
 MPII conventions honored (so pretrained-era checkpoints line up):
-  * matlab 1-based center -> 0-based (``center - 1``)
+  * matlab 1-based center AND joints -> 0-based (``- 1``)
   * ``center_y += 15 * scale`` then ``scale *= 1.25`` (loose crop around
-    the head — the MSRA adjustment)
-  * ``scale`` is person-height / 200 px; the pixel box is ``scale * 200``
-    square, then aspect-corrected to the model input ratio.
+    the head — the MSRA adjustment; this is the ONLY padding applied:
+    the shared ``padding`` knob defaults to 1.0 here so the crop box is
+    exactly ``scale * 200`` px, matching the MSRA pipeline)
+  * the pixel box is aspect-corrected to the model input ratio.
 
 Evaluation: 16 joints, PCKh@0.5 with head segment (9=head top,
 8=upper neck) — tpupose.metrics.pckh defaults match.
@@ -43,7 +44,7 @@ class MpiiTopDownDataset(CocoTopDownDataset):
     def __init__(self, image_dir: str, ann_file: str, image_size=(256, 256),
                  heatmap_size=(64, 64), is_train: bool = True,
                  scale_factor: float = 0.25, rotation_factor: float = 30.0,
-                 flip_prob: float = 0.5, padding: float = 1.25, seed: int = 0,
+                 flip_prob: float = 0.5, padding: float = 1.0, seed: int = 0,
                  decode_threads: int = 4, augment_geometry: bool = True):
         # deliberately NOT calling super().__init__ (different parse); set
         # the fields the shared machinery reads.
@@ -58,7 +59,8 @@ class MpiiTopDownDataset(CocoTopDownDataset):
         self.decode_threads = decode_threads
         self.augment_geometry = augment_geometry
         self.flip_pairs = MPII_FLIP_PAIRS
-        self._rng = np.random.RandomState(seed)
+        self._seed = int(seed)
+        self._visits = {}
         import threading
 
         self._rng_lock = threading.Lock()
@@ -68,9 +70,10 @@ class MpiiTopDownDataset(CocoTopDownDataset):
         self._dims: dict[str, tuple[int, int]] = {}  # file -> (W, H), lazy
         self.samples = []
         for i, a in enumerate(anns):
-            joints = np.asarray(a["joints"], np.float32).reshape(-1, 2)
+            # joints and center are matlab 1-based in the MPII json
+            joints = np.asarray(a["joints"], np.float32).reshape(-1, 2) - 1.0
             vis = np.asarray(a["joints_vis"], np.float32).reshape(-1)
-            center = np.asarray(a["center"], np.float32) - 1.0  # 1-based
+            center = np.asarray(a["center"], np.float32) - 1.0
             s = float(np.asarray(a["scale"]).reshape(-1)[0])
             if center[0] >= 0:  # MSRA loose-crop adjustment
                 center = center.copy()
@@ -106,8 +109,8 @@ class MpiiTopDownDataset(CocoTopDownDataset):
 
     def _center_scale(self, s):
         """Stored MPII center/scale -> pixel (w, h) box with the model's
-        aspect ratio, then the shared 1.25 padding (matches the COCO path
-        so the decode/back-projection contract is identical)."""
+        aspect ratio. padding defaults to 1.0: the MSRA *1.25 is already
+        folded into scale0 at parse time (no double padding)."""
         H, W = self.image_size
         aspect = W / H
         side = float(s["scale0"]) * 200.0

@@ -48,6 +48,27 @@ def get_lib():
         except OSError as e:
             printW(f"native io load failed ({e}); using PIL fallback")
             return None
+        # a stale .so built before a symbol was added must not crash the
+        # loader path — rebuild once, else fall back to PIL
+        needed = ("tp_decode_jpeg_resize", "tp_decode_jpeg_batch",
+                  "tp_parse_yolo_label", "tp_decode_warp_batch")
+        if not all(hasattr(lib, s) for s in needed):
+            printW("native io library is stale (missing symbols); rebuilding")
+            del lib
+            try:
+                os.remove(_SO)
+            except OSError:
+                pass
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError as e:
+                printW(f"native io reload failed ({e}); using PIL fallback")
+                return None
+            if not all(hasattr(lib, s) for s in needed):
+                printW("rebuilt native io still lacks symbols; PIL fallback")
+                return None
         lib.tp_decode_jpeg_resize.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8)]

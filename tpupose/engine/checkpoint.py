@@ -93,10 +93,32 @@ class CheckpointManager:
         best=True restores the durable best checkpoint."""
         mgr = self._best_mgr if best else self._mgr
         step = step if step is not None else mgr.latest_step()
-        if step is None:
-            return state, 0
         target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                         self._state_tree(state))
+        if step is None:
+            # pre-split flat layout (steps directly under the directory,
+            # written before the periodic/best subdirectories existed)
+            legacy_steps = [d for d in os.listdir(self.directory)
+                            if d.isdigit()]
+            if not best and legacy_steps:
+                legacy = ocp.CheckpointManager(self.directory)
+                lstep = legacy.latest_step()
+                if lstep is not None:
+                    restored = legacy.restore(
+                        lstep, args=ocp.args.StandardRestore(target))
+                    legacy.close()
+                    new_state = state.replace(
+                        step=restored["step"], params=restored["params"],
+                        batch_stats=restored["batch_stats"],
+                        opt_state=restored["opt_state"])
+                    printS(f"restored legacy-layout checkpoint @ step {lstep}")
+                    return new_state, int(lstep)
+                legacy.close()
+            from tpupose.utils.logging import printW
+
+            printW(f"no checkpoint found under {self.directory}; "
+                   "continuing with current (possibly random) parameters")
+            return state, 0
         restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
         new_state = state.replace(
             step=restored["step"],

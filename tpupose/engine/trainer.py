@@ -200,10 +200,27 @@ class Trainer:
 
     def validate(self) -> float:
         """Loss-only validation (the reference's validate computes loss only,
-        pose/pose/engine/trainer.py:101-102 — here it's actually wired in)."""
+        pose/pose/engine/trainer.py:101-102 — here it's actually wired in).
+
+        Eval loaders pad the tail batch to a static shape (pad_last);
+        padded duplicate rows are excluded from the loss by zeroing their
+        per-sample weights (target_weight / visibility / instance_mask —
+        the loss fns normalize by the weight sum, so the masked mean is
+        exact) and batches are combined weighted by real-sample count."""
         total, n = 0.0, 0
         for batch in self.valid_loader:
+            pm = batch.get("pad_mask")
             db = self._prepare_batch(batch, for_eval=True)
+            n_real = int(pm.sum()) if pm is not None else len(batch["images"])
+            if pm is not None and not bool(pm.all()):
+                m = jnp.asarray(pm.astype(np.float32))
+                db = dict(db)
+                if self.family == "yolo":
+                    db["instance_mask"] = db["instance_mask"] * m[:, None]
+                elif self.family == "regression":
+                    db["visibility"] = db["visibility"] * m[:, None]
+                else:
+                    db["target_weight"] = db["target_weight"] * m[:, None]
             if self.family == "yolo":
                 loss = self.val_step(self.state, db)
             elif self.family == "regression":
@@ -213,8 +230,8 @@ class Trainer:
             else:
                 preds = self.eval_step(self.state, db["images"])
                 loss = self.loss_fn(preds, db["target"], db["target_weight"])
-            total += float(loss)
-            n += 1
+            total += float(loss) * n_real
+            n += n_real
         if n == 0:
             from tpupose.utils.logging import printW
 
@@ -274,9 +291,12 @@ class Trainer:
         coords (synthetic sets store joints in heatmap coords only)."""
         from tpupose.ops.affine import transform_preds
 
-        hm_size = tuple(self.cfg.model.heatmap_size)
-        project = jax.jit(jax.vmap(
-            lambda c, ct, sc: transform_preds(c, ct, sc, hm_size)))
+        if getattr(self, "_project_joints", None) is None:
+            hm_size = tuple(self.cfg.model.heatmap_size)
+            # cached: a fresh jit per evaluate() would recompile each eval
+            self._project_joints = jax.jit(jax.vmap(
+                lambda c, ct, sc: transform_preds(c, ct, sc, hm_size)))
+        project = self._project_joints
         for batch in self.valid_loader:
             if "joints_src" not in batch:
                 batch = dict(batch)

@@ -155,8 +155,7 @@ def pallas_crops_from_frames(frames, matrices, out_size,
 def crops_from_frames_auto(frames, matrices, out_size):
     """Device crops of a frame batch: Pallas on TPU, XLA warp elsewhere."""
     Ho, _ = out_size
-    on_tpu = jax.default_backend() not in ("cpu",)
-    if on_tpu and Ho % TILE == 0:
+    if _on_tpu() and Ho % TILE == 0:
         return pallas_crops_from_frames(frames, matrices, out_size)
     from tpupose.ops.affine import batched_affine_warp
 
@@ -168,11 +167,15 @@ def crops_from_frames_auto(frames, matrices, out_size):
 
 def affine_warp_auto(images, matrices, out_size):
     """Fastest available batched warp: the Pallas MXU kernel on TPU, the
-    XLA gather path elsewhere (CPU tests, odd sizes)."""
+    XLA gather path elsewhere (CPU tests, GPU, odd sizes)."""
     Ho, _ = out_size
-    on_tpu = jax.default_backend() not in ("cpu",)
-    if on_tpu and Ho % TILE == 0:
+    if _on_tpu() and Ho % TILE == 0:
         return pallas_affine_warp(images, matrices, out_size)
     from tpupose.ops.affine import batched_affine_warp
 
     return batched_affine_warp(images.astype(jnp.float32), matrices, out_size)
+
+
+def _on_tpu() -> bool:
+    # 'axon' is the tunneled-TPU plugin platform name in this container
+    return jax.default_backend() in ("tpu", "axon")
