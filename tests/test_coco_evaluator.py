@@ -161,3 +161,41 @@ def test_oksap_wrong_predictions_give_low_map():
     pred = gt + 300.0  # hopeless
     m.update(pred, np.ones(3, np.float32), gt, np.ones((3, 17)), np.full(3, 2500.0))
     assert m.compute()["mAP"] < 0.05
+
+
+def test_oksap_area_ranges_and_recall():
+    """Full COCO suite: AP_M/AP_L split by GT area, AR averaged recall,
+    and COCO ignore semantics (a det matching only an out-of-range GT is
+    dropped from that range's ranking, not counted as FP)."""
+    from tpupose.metrics.oks_ap import OKSAP
+
+    rng = np.random.RandomState(1)
+    m = OKSAP(num_classes=1)
+    for _ in range(3):
+        gt = rng.uniform(30, 200, (2, 17, 2)).astype(np.float32)
+        vis = np.ones((2, 17), np.float32)
+        area = np.array([50.0 ** 2, 150.0 ** 2], np.float32)  # medium, large
+        # perfect pred for the large GT; hopeless pred for the medium GT
+        pred = gt.copy()
+        pred[0] += 500.0
+        m.update(pred, np.array([0.9, 0.8], np.float32), gt, vis, area,
+                 pred_area=area)
+    out = m.compute()
+    # large instances are perfect, medium ones missed entirely
+    assert out["AP_L"] > 0.99 and out["AR_L"] > 0.99
+    assert out["AP_M"] < 0.01 and out["AR_M"] < 0.01
+    # the overall AP sees 1 TP + 1 FP per image over 2 GTs
+    assert 0.2 < out["mAP"] < 0.8
+    assert abs(out["AR"] - 0.5) < 0.01
+
+    # ignore semantics: perfect preds for BOTH -> per-range AP stays 1.0
+    # because the other range's matched det is ignored, not an FP
+    m.reset()
+    for _ in range(3):
+        gt = rng.uniform(30, 200, (2, 17, 2)).astype(np.float32)
+        area = np.array([50.0 ** 2, 150.0 ** 2], np.float32)
+        m.update(gt, np.array([0.9, 0.8], np.float32), gt,
+                 np.ones((2, 17), np.float32), area, pred_area=area)
+    out = m.compute()
+    for k in ("mAP", "AP_M", "AP_L", "AR", "AR_M", "AR_L", "AR50", "AR75"):
+        assert out[k] > 0.99, (k, out[k])

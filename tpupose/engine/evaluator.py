@@ -139,7 +139,9 @@ class TopDownEvaluator:
             gv = np.stack([it[3] for it in items])
             ga = np.asarray([it[4] for it in items], np.float32)
             for m in ap_metrics:
-                m.update(pk, ps, gk, gv, ga)
+                # top-down preds come from known person crops: the
+                # detection's own area IS the crop area (drives AP_M/AP_L)
+                m.update(pk, ps, gk, gv, ga, pred_area=ga)
         out = {}
         for m in metrics:
             out.update({k: float(v) for k, v in m.compute().items()

@@ -6,6 +6,12 @@ exp(-d^2 / (2 * area * (2*sigma)^2)) over visible joints, batch
 accumulation, per-class x per-threshold AP over 0.50:0.05:0.95 with
 precision-envelope integration, returning mAP/mAP50/mAP75/per-class.
 
+Beyond the reference, compute() also reports the REST of the standard
+COCO keypoint suite: AP_M/AP_L (medium 32^2<area<96^2 / large area>96^2,
+with out-of-range GTs treated as COCO "ignore" regions: detections that
+match only an ignored GT are dropped from the ranking rather than counted
+as false positives) and average recall AR/AR50/AR75/AR_M/AR_L.
+
 The per-batch OKS matrix is computed in JAX (device); matching + AP
 integration run on host NumPy over the accumulated (small) lists.
 """
@@ -57,17 +63,27 @@ class OKSAP:
         self.sigmas = sigmas
         self.reset()
 
+    # COCO keypoint area ranges: (label, lo, hi)
+    AREA_RANGES = (("all", 0.0, 1e10),
+                   ("M", 32.0 ** 2, 96.0 ** 2),
+                   ("L", 96.0 ** 2, 1e10))
+
     def reset(self):
-        # per class: list of (score, oks_row vs gts in that image) and gt counts
+        # per class: list of (scores, oks rows vs gts in that image,
+        # gt areas of those gts) — areas drive the M/L range splits
         self._preds = [[] for _ in range(self.num_classes)]
         self._num_gt = np.zeros(self.num_classes, np.int64)
 
     def update(self, pred_kpts, pred_scores, gt_kpts, gt_vis, gt_area,
-               pred_cls=None, gt_cls=None, pred_valid=None, gt_valid=None):
+               pred_cls=None, gt_cls=None, pred_valid=None, gt_valid=None,
+               pred_area=None):
         """Accumulate one image.
 
         pred_kpts (N,K,2), pred_scores (N,), gt_kpts (M,K,2), gt_vis (M,K),
-        gt_area (M,); optional class ids and padding masks.
+        gt_area (M,); optional class ids and padding masks. pred_area (N,)
+        drives the COCO rule that an UNMATCHED detection whose own area is
+        outside the evaluated range is ignored rather than an FP; when not
+        given it is approximated by the predicted-keypoint bounding box.
         """
         pred_kpts = np.asarray(pred_kpts)
         pred_scores = np.asarray(pred_scores)
@@ -79,6 +95,10 @@ class OKSAP:
         gt_cls = np.zeros(M, np.int64) if gt_cls is None else np.asarray(gt_cls)
         pred_valid = np.ones(N, bool) if pred_valid is None else np.asarray(pred_valid, bool)
         gt_valid = np.ones(M, bool) if gt_valid is None else np.asarray(gt_valid, bool)
+        if pred_area is None:
+            span = pred_kpts.max(axis=1) - pred_kpts.min(axis=1)  # (N, 2)
+            pred_area = span[:, 0] * span[:, 1]
+        pred_area = np.asarray(pred_area, np.float64)
 
         oks = np.asarray(compute_oks(
             jnp.asarray(pred_kpts), jnp.asarray(gt_kpts),
@@ -89,43 +109,68 @@ class OKSAP:
             gsel = gt_valid & (gt_cls == c)
             self._num_gt[c] += int(gsel.sum())
             psel = pred_valid & (pred_cls == c)
-            if not psel.any():
+            if not psel.any() and not gsel.any():
                 continue
-            rows = oks[psel][:, gsel] if gsel.any() else np.zeros((int(psel.sum()), 0))
-            self._preds[c].append((pred_scores[psel], rows))
+            rows = (oks[psel][:, gsel] if gsel.any()
+                    else np.zeros((int(psel.sum()), 0)))
+            self._preds[c].append(
+                (pred_scores[psel], rows, gt_area[gsel].astype(np.float64),
+                 pred_area[psel]))
 
-    def _ap_for_class(self, c: int):
-        """Greedy matching per threshold + 101-pt precision envelope AP."""
+    def _pr_for_class(self, c: int, area_rng=(0.0, 1e10)):
+        """Greedy matching per threshold + 101-pt precision envelope AP.
+
+        area_rng restricts evaluation to GTs with lo <= area < hi; GTs
+        outside the range are COCO "ignore" regions — a detection whose
+        best remaining match is an ignored GT at or above the threshold is
+        removed from the ranking (neither TP nor FP).
+        Returns (aps, recalls), each (len(thresholds),).
+        """
+        lo, hi = area_rng
         entries = self._preds[c]
-        n_gt = self._num_gt[c]
+        nthr = len(self.thresholds)
+        n_gt = sum(int(((a >= lo) & (a < hi)).sum())
+                   for _, _, a, _ in entries)
         if not entries or n_gt == 0:
-            return np.zeros(len(self.thresholds))
-        aps = np.zeros(len(self.thresholds))
+            return np.zeros(nthr), np.zeros(nthr)
+        aps = np.zeros(nthr)
+        recalls = np.zeros(nthr)
         # flatten detections keeping per-image gt association
         for ti, thr in enumerate(self.thresholds):
             scores_all, tps = [], []
-            for scores, oks_rows in entries:
+            for scores, oks_rows, areas, pareas in entries:
                 order = np.argsort(-scores)
+                in_rng = (areas >= lo) & (areas < hi)
+                p_in_rng = (pareas >= lo) & (pareas < hi)
                 taken = np.zeros(oks_rows.shape[1], bool)
                 for i in order:
-                    scores_all.append(scores[i])
-                    if oks_rows.shape[1] == 0:
-                        tps.append(False)
-                        continue
-                    row = np.where(taken, -1.0, oks_rows[i])
+                    no_gt = oks_rows.shape[1] == 0
+                    row = (np.full(1, -1.0) if no_gt
+                           else np.where(taken | ~in_rng, -1.0, oks_rows[i]))
                     j = int(np.argmax(row))
                     if row[j] >= thr:
                         taken[j] = True
+                        scores_all.append(scores[i])
                         tps.append(True)
+                    elif not no_gt and np.any(~in_rng & (oks_rows[i] >= thr)):
+                        # matches only an ignored GT: drop from the ranking
+                        continue
+                    elif not p_in_rng[i]:
+                        # unmatched det whose own area is outside the range
+                        continue
                     else:
+                        scores_all.append(scores[i])
                         tps.append(False)
             scores_all = np.asarray(scores_all)
-            tps = np.asarray(tps)
+            tps = np.asarray(tps, bool)
+            if scores_all.size == 0:
+                continue
             order = np.argsort(-scores_all)
             tp = np.cumsum(tps[order])
             fp = np.cumsum(~tps[order])
             recall = tp / n_gt
             precision = tp / np.maximum(tp + fp, 1)
+            recalls[ti] = recall[-1]
             # precision envelope (monotone decreasing)
             for i in range(len(precision) - 1, 0, -1):
                 precision[i - 1] = max(precision[i - 1], precision[i])
@@ -134,19 +179,37 @@ class OKSAP:
             idx = np.searchsorted(recall, rc, side="left")
             prec_at = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
             aps[ti] = prec_at.mean()
-        return aps
+        return aps, recalls
 
     def compute(self) -> dict:
-        per_class = np.stack([self._ap_for_class(c) for c in range(self.num_classes)])
+        pr = {label: [self._pr_for_class(c, (lo, hi))
+                      for c in range(self.num_classes)]
+              for label, lo, hi in self.AREA_RANGES}
+        per_class = np.stack([ap for ap, _ in pr["all"]])
         valid = self._num_gt > 0
         if not valid.any():
-            return {"mAP": 0.0, "mAP50": 0.0, "mAP75": 0.0, "per_class": per_class}
-        mean_over_thr = per_class[valid].mean(axis=0)
+            return {"mAP": 0.0, "mAP50": 0.0, "mAP75": 0.0,
+                    "per_class": per_class}
         i50 = int(np.argmin(np.abs(self.thresholds - 0.5)))
         i75 = int(np.argmin(np.abs(self.thresholds - 0.75)))
+
+        def mean_over(label, which):
+            vals = np.stack([pr[label][c][which]
+                             for c in range(self.num_classes)])[valid]
+            return vals.mean(axis=0)
+
+        ap_all = mean_over("all", 0)
+        ar_all = mean_over("all", 1)
         return {
-            "mAP": float(mean_over_thr.mean()),
-            "mAP50": float(mean_over_thr[i50]),
-            "mAP75": float(mean_over_thr[i75]),
+            "mAP": float(ap_all.mean()),
+            "mAP50": float(ap_all[i50]),
+            "mAP75": float(ap_all[i75]),
+            "AP_M": float(mean_over("M", 0).mean()),
+            "AP_L": float(mean_over("L", 0).mean()),
+            "AR": float(ar_all.mean()),
+            "AR50": float(ar_all[i50]),
+            "AR75": float(ar_all[i75]),
+            "AR_M": float(mean_over("M", 1).mean()),
+            "AR_L": float(mean_over("L", 1).mean()),
             "per_class": per_class.mean(axis=1),
         }
