@@ -8,9 +8,11 @@ pose network: a stride-4 stem, a Bottleneck stage, then three multi-branch
 stages exchanging information through fuse layers; the final head runs on
 the highest-resolution branch.
 
-TPU design notes: NHWC; all branch exchanges are conv + bilinear resize
-(XLA fuses the upsample+add chains); widths are multiples of 32/48 so the
-channel dims tile the MXU/VPU lanes well; bf16 compute.
+TPU design notes: NHWC; fuse-layer upsampling is NEAREST-neighbor (the
+canonical HRNet choice: Upsample(scale_factor=2**(j-i), mode='nearest')),
+implemented as a broadcast+reshape — zero FLOPs, pure relayout, no gather;
+widths are multiples of 32/48 so the channel dims tile the MXU/VPU lanes
+well; bf16 compute.
 """
 
 from __future__ import annotations
@@ -25,8 +27,16 @@ from tpupose.models.backbones.resnet import BasicBlock, Bottleneck
 
 
 def _upsample_to(x, hw, dtype):
-    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[-1]),
-                            method="bilinear").astype(dtype)
+    B, H, W, C = x.shape
+    fh, fw = hw[0] // H, hw[1] // W
+    if fh * H == hw[0] and fw * W == hw[1] and fh >= 1 and fw >= 1:
+        # nearest by integer factor: broadcast + reshape (a relayout XLA
+        # folds into the surrounding add/ReLU — no resize gather)
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (B, H, fh, W, fw, C))
+        return x.reshape(B, hw[0], hw[1], C).astype(dtype)
+    return jax.image.resize(x, (B, hw[0], hw[1], C),
+                            method="nearest").astype(dtype)
 
 
 class _ConvBN(nn.Module):
