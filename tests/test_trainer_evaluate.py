@@ -53,3 +53,44 @@ def test_evaluate_runs_and_returns_metrics(tmp_path):
     tr.file_log.log("test line")
     assert os.path.exists(log)
     assert "test line" in open(log).read()
+
+
+def test_evaluator_sharded_matches_single_device():
+    """Mesh-sharded metric eval (shard_fn) returns the same coords/scores
+    as the default single-device placement — GSPMD parallelizes the eval
+    program across the 8-device mesh without changing the math."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpupose.engine.evaluator import TopDownEvaluator
+    from tpupose.engine.train_state import create_train_state
+    from tpupose.models.simple_baseline import SimpleBaseline
+    from tpupose.parallel.mesh import MeshManager
+
+    net = SimpleBaseline(backbone="resnet18", num_keypoints=4,
+                         deconv_channels=(64, 64, 64), dtype=jnp.float32)
+    state = create_train_state(net, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), optax.sgd(0.0))
+    rng = np.random.RandomState(3)
+    B = 8
+    imgs = rng.randint(0, 255, (B, 64, 64, 3)).astype(np.uint8)
+    centers = np.tile([[32.0, 32.0]], (B, 1)).astype(np.float32)
+    scales = np.tile([[64.0, 64.0]], (B, 1)).astype(np.float32)
+
+    ev1 = TopDownEvaluator(state, (16, 16), decode="dark", flip_test=True,
+                           flip_pairs=np.zeros((0, 2), np.int64))
+    c1, s1 = jax.device_get(ev1.step(imgs, centers, scales))
+
+    mgr = MeshManager(data=-1, model=1)
+    sharded_state = mgr.shard_state(state)
+    ev2 = TopDownEvaluator(sharded_state, (16, 16), decode="dark",
+                           flip_test=True,
+                           flip_pairs=np.zeros((0, 2), np.int64),
+                           shard_fn=mgr.shard_batch)
+    c2, s2 = jax.device_get(ev2.step(imgs, centers, scales))
+
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-5, atol=1e-6)

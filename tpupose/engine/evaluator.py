@@ -49,7 +49,13 @@ def visible_bbox_area(gt, vis):
 class TopDownEvaluator:
     def __init__(self, state, heatmap_size, decode: str = "dark",
                  flip_test: bool = True, flip_pairs=None,
-                 blur_kernel: int = 11, sigma: float = 2.0):
+                 blur_kernel: int = 11, sigma: float = 2.0,
+                 shard_fn=None):
+        """shard_fn (optional): host batch pytree -> mesh-sharded arrays
+        (e.g. MeshManager.shard_batch). With it, eval batches are sharded
+        over the mesh 'data' axis so metric evaluation runs data-parallel
+        across all chips (GSPMD parallelizes the jitted program from the
+        input shardings); without it, inputs land on the default device."""
         self.state = state
         self.heatmap_size = tuple(heatmap_size)
         self.flip_pairs = (np.asarray(flip_pairs) if flip_pairs is not None
@@ -58,6 +64,7 @@ class TopDownEvaluator:
         self.flip_test = flip_test
         self.blur_kernel = blur_kernel
         self.sigma = sigma
+        self.shard_fn = shard_fn
         self._step = jax.jit(partial(self._eval_step))
 
     def _eval_step(self, state, images, centers, scales):
@@ -91,6 +98,11 @@ class TopDownEvaluator:
 
     def step(self, images, centers, scales):
         """Run the fused eval program on one batch (uses self.state)."""
+        if self.shard_fn is not None:
+            placed = self.shard_fn({"images": images, "centers": centers,
+                                    "scales": scales})
+            return self._step(self.state, placed["images"],
+                              placed["centers"], placed["scales"])
         return self._step(self.state, jnp.asarray(images),
                           jnp.asarray(centers), jnp.asarray(scales))
 

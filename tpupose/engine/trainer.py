@@ -282,7 +282,8 @@ class Trainer:
                 flip_test=self.cfg.eval.flip_test,
                 flip_pairs=pairs,
                 blur_kernel=self.cfg.eval.blur_kernel,
-                sigma=self.cfg.data.sigma)
+                sigma=self.cfg.data.sigma,
+                shard_fn=self.mesh_mgr.shard_batch)
         self._evaluator.state = self.state
         return self._evaluator
 
