@@ -191,7 +191,8 @@ def bench_r50_train(tmp="/tmp/bench_coco"):
 
     from tpupose.models.simple_baseline import SimpleBaseline
 
-    B, H, W, K = 128, 256, 192, 17
+    # B=256 beats 128 by ~6% for the fwd+bwd step (measured; infer prefers 128)
+    B, H, W, K = 256, 256, 192, 17
     rng = np.random.RandomState(0)
     model = SimpleBaseline(backbone="resnet50", num_keypoints=K,
                            dtype=jnp.bfloat16)
@@ -267,7 +268,7 @@ def bench_hrnet_w48_eval():
     from tpupose.engine.train_state import create_train_state
     from tpupose.models.backbones.hrnet import HRNetPose
 
-    B, H, W, K = 64, 384, 288, 17
+    B, H, W, K = 128, 384, 288, 17
     model = HRNetPose(variant="hrnet_w48", num_keypoints=K, dtype=jnp.bfloat16)
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, H, W, 3)), optax.sgd(0.0))
