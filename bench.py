@@ -8,10 +8,13 @@ repo publishes no numbers, so the denominator is DERIVED from the
 reference's own vendored timm benchmark CSV
 (HPE/thirdparty/pytorch-image-models/results/benchmark-infer-amp-nchw-
 pt240-cu124-rtx4090.csv: resnet50 @224 AMP = 4217.6 img/s, 4.11 GMACs),
-scaled by the pose model's extra work: R50 @256x192 (4.03 GMACs) + the
-3-deconv MSRA head (~5.6 GMACs) = ~9.6 GMACs -> 4217.6 * 4.11 / 9.6 =
-~1806 img/s for the torch forward on an RTX 4090, EXCLUDING the
-reference's host-side decode (a generous denominator). See BASELINE.md.
+scaled by the pose model's work: XLA's cost_analysis puts the full
+R50-pose e2e program at 10.44 GFLOPs/img = 5.22 GMACs (backbone 4.03 +
+deconv head ~1.2, the efficient transposed-conv count cuDNN also pays)
+-> 4217.6 * 4.11 / 5.22 = ~3321 img/s for the torch forward on an RTX
+4090, EXCLUDING the reference's host-side decode (a generous
+denominator; see BASELINE.md for the correction history and
+scripts/roofline.py for the FLOP accounting).
 
 Usage: python bench.py [--quick]   (--quick: headline config only)
 """
@@ -25,7 +28,7 @@ import time
 
 import numpy as np
 
-REFERENCE_IPS = 1806.0   # derived torch-forward figure; see module docstring
+REFERENCE_IPS = 3321.0   # derived torch-forward figure; see module docstring
 
 
 def _enable_compile_cache():
