@@ -64,9 +64,15 @@ def _steady_s(call, probe, n1: int = 4, n2: int = 16):
 
     run(2)   # warmup (compile + cache)
     run(2)
-    t1 = run(n1)
-    t2 = run(n2)
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    # best of 2 passes: the tunnel occasionally degrades for a stretch
+    # (measured 2x transient slowdowns mid-run); throughput reports the
+    # best sustained rate, and a repeat pass costs seconds post-compile
+    best = float("inf")
+    for _ in range(2):
+        t1 = run(n1)
+        t2 = run(n2)
+        best = min(best, max((t2 - t1) / (n2 - n1), 1e-9))
+    return best
 
 
 def _latency_p50(call, probe, n=10):
