@@ -85,6 +85,7 @@ def test_fskd_forward_and_episode_loss():
     assert set(parts) == {"cls", "kpt", "conf"}
 
 
+@pytest.mark.slow
 def test_maml_adapt_reduces_support_loss():
     from tpupose.models.fskd import FSKD, fskd_episode_loss, maml_adapt
 

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from tpupose.engine.train_state import create_train_state, make_heatmap_train_step
 from tpupose.losses.heatmap import joints_mse_loss
@@ -43,6 +44,7 @@ def _run(model_axis: int):
     return loss, k
 
 
+@pytest.mark.slow
 def test_model_axis_matches_dp_only():
     loss_dp, k_dp = _run(1)
     loss_tp, k_tp = _run(2)
