@@ -252,7 +252,8 @@ def bench_hrnet_w32_train():
 
     from tpupose.models.backbones.hrnet import HRNetPose
 
-    B, H, W, K = 64, 256, 192, 17
+    # measured sweep: b64 833 / b128 1261 / b256 1191 img/s — use 128
+    B, H, W, K = 128, 256, 192, 17
     rng = np.random.RandomState(0)
     model = HRNetPose(variant="hrnet_w32", num_keypoints=K, dtype=jnp.bfloat16)
     batch = {
