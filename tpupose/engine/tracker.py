@@ -60,6 +60,7 @@ class PoseTracker:
         keypoints = np.asarray(keypoints, np.float32)
         N = boxes.shape[0]
 
+        matched_t, matched_d = set(), set()
         if self.tracks and N:
             tf = np.stack([t.feature for t in self.tracks])
             tb = np.stack([t.box for t in self.tracks])
@@ -68,27 +69,27 @@ class PoseTracker:
             sim = tn @ fn.T                                   # (T, N)
             iou = _iou(tb, boxes)
             cost = self.aw * sim + self.iw * iou
-        else:
-            cost = np.zeros((len(self.tracks), N))
 
-        matched_t, matched_d = set(), set()
-        # greedy best-first matching
-        pairs = sorted(
-            ((cost[t, d], t, d) for t in range(len(self.tracks))
-             for d in range(N)), reverse=True)
-        for c, t, d in pairs:
-            if c < self.thresh or t in matched_t or d in matched_d:
-                continue
-            matched_t.add(t)
-            matched_d.add(d)
-            tr = self.tracks[t]
-            tr.box = boxes[d]
-            tr.keypoints = keypoints[d]
-            tr.feature = (self.momentum * tr.feature
-                          + (1 - self.momentum) * features[d])
-            tr.age = 0
-            tr.hits += 1
-            tr.history.append(keypoints[d])
+            # greedy best-first matching as iterative argmax: at T=N=100
+            # this is <=100 C-level argmax calls on a (T, N) matrix, vs
+            # sorting all T*N pairs through Python tuples (the tracker is
+            # the video pipeline's host-side cost — keep it vectorized)
+            while True:
+                t, d = np.unravel_index(int(np.argmax(cost)), cost.shape)
+                if cost[t, d] < self.thresh:
+                    break
+                matched_t.add(int(t))
+                matched_d.add(int(d))
+                cost[t, :] = -np.inf
+                cost[:, d] = -np.inf
+                tr = self.tracks[t]
+                tr.box = boxes[d]
+                tr.keypoints = keypoints[d]
+                tr.feature = (self.momentum * tr.feature
+                              + (1 - self.momentum) * features[d])
+                tr.age = 0
+                tr.hits += 1
+                tr.history.append(keypoints[d])
 
         for t, tr in enumerate(self.tracks):
             if t not in matched_t:
