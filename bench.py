@@ -319,16 +319,8 @@ def bench_video():
     rng = np.random.RandomState(0)
     VB = 8  # frames per device batch (cli/video video_batch default)
     batch = rng.randint(0, 255, (VB, H, W, 3)).astype(np.uint8)
-    holder = {"dev": jax.device_put(batch)}
 
-    def chunk():
-        """One video chunk exactly as cli/video runs it: batched device
-        detection on an already-transferred batch, the NEXT chunk's H2D
-        transfer started first (async, overlaps the device pass), then
-        causal per-frame host tracking."""
-        cur = holder["dev"]
-        holder["dev"] = jax.device_put(batch)   # next chunk's transfer
-        det = pred(cur)
+    def track_chunk(det):
         for bi in range(VB):
             v = det["valid"][bi]
             boxes = det["boxes"][bi][v]
@@ -336,9 +328,23 @@ def bench_video():
             feats = (kpts[..., :2].reshape(len(boxes), -1) / W
                      if len(boxes) else np.zeros((0, 2 * K)))
             tracker.update(boxes, feats, kpts)
-        return det
 
-    dt = _steady_s(lambda: chunk(), lambda det: None, n1=2, n2=8)
+    def run(n):
+        """n chunks exactly as cli/video runs them: per-chunk async H2D,
+        software-pipelined dispatch/fetch (depth 2, 2 fetch threads), and
+        causal in-order host tracking."""
+        t0 = time.perf_counter()
+        for det in pred.pipeline(
+                (jax.device_put(batch) for _ in range(n))):
+            track_chunk(det)
+        return time.perf_counter() - t0
+
+    run(3)  # warmup (compile)
+    # two-point fit removes the pipeline fill/drain constant; best of 2
+    dt = float("inf")
+    for _ in range(2):
+        t1, t2 = run(3), run(11)
+        dt = min(dt, max((t2 - t1) / 8, 1e-9))
     # batch-1 streaming latency path for reference
     f1 = batch[:1]
     p50 = _latency_p50(lambda: pred(f1), lambda det: None, n=6)
@@ -356,6 +362,7 @@ def bench_video():
     ts = TwoStagePosePredictor(pstate, crop_size=(256, 192),
                                heatmap_size=(64, 48), max_persons=16)
     tracker2 = PoseTracker()   # feature dim differs from stage-1 tracker
+    holder = {"dev": jax.device_put(batch)}
 
     def chunk2():
         cur = holder["dev"]

@@ -118,19 +118,30 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
         return pils, jax.device_put(arr)
 
     chunks = [frames[i:i + VB] for i in range(0, len(frames), VB)]
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=1)
     pending = pool.submit(load_chunk, chunks[0]) if chunks else None
 
+    # Detection is software-pipelined: the device program for chunk i+1/i+2
+    # is dispatched (and its result fetch started on a small thread pool)
+    # BEFORE chunk i's results are consumed, so device compute, result
+    # round trips, and host tracking all overlap. Tracking stays causal:
+    # the in-flight queue is drained strictly in order. The two-stage
+    # variant re-consumes the frames + boxes on device, so it runs at
+    # depth 0 (plain call-per-chunk).
+    fetch_pool = ThreadPoolExecutor(max_workers=2)
+    inflight: deque = deque()       # (chunk_paths, pils, arr, det_future)
+    depth = 0 if two_stage is not None else 2
+
     log_path = os.path.join(output_dir, "tracks.jsonl")
     fi = 0
     with open(log_path, "w") as log:
-        for ci, chunk in enumerate(chunks):
-            pils, arr = pending.result()
-            pending = (pool.submit(load_chunk, chunks[ci + 1])
-                       if ci + 1 < len(chunks) else None)
-            det = predictor(arr)
+        def drain_one():
+            nonlocal fi
+            chunk, pils, arr, fut = inflight.popleft()
+            det = fut.result()
             if two_stage is not None:
                 D = two_stage.max_persons
                 coords, pscores = two_stage.pose_from_boxes(
@@ -168,7 +179,19 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
                     os.path.join(output_dir, os.path.basename(p)))
                 printT(f"frame {fi}: {len(tracks)} tracks")
                 fi += 1
+
+        for ci, chunk in enumerate(chunks):
+            pils, arr = pending.result()
+            pending = (pool.submit(load_chunk, chunks[ci + 1])
+                       if ci + 1 < len(chunks) else None)
+            inflight.append((chunk, pils, arr, fetch_pool.submit(
+                predictor.fetch, predictor.dispatch(arr))))
+            while len(inflight) > depth:
+                drain_one()
+        while inflight:
+            drain_one()
     pool.shutdown()
+    fetch_pool.shutdown()
     printS(f"{len(frames)} frames -> {output_dir} (log: {log_path})")
 
 

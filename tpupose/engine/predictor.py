@@ -86,13 +86,50 @@ class YoloPosePredictor:
 
         return jax.vmap(per_image)(boxes, scores, classes, kpts)
 
+    def dispatch(self, images):
+        """Enqueue the detection program for one batch and return the
+        on-device results WITHOUT fetching them. JAX dispatch is async, so
+        this returns immediately; pair with fetch() to pipeline several
+        batches' device work against result transfers (a lone
+        dispatch+fetch pays the full host<->device round trip per call)."""
+        return self._step(self.state, jnp.asarray(images))
+
+    @staticmethod
+    def fetch(out):
+        """Fetch dispatched results. One device_get for all five arrays: a
+        single host round trip instead of five (matters when the device
+        sits behind a network tunnel)."""
+        b, s, c, k, v = jax.device_get(out)
+        return {"boxes": b, "scores": s, "classes": c, "keypoints": k,
+                "valid": v}
+
     def __call__(self, images):
         """images: (B, H, W, 3) uint8. Returns dict of fixed-size arrays:
         boxes (B, D, 4), scores (B, D), classes (B, D),
         keypoints (B, D, K, 3), valid (B, D)."""
-        out = self._step(self.state, jnp.asarray(images))
-        # one device_get for all five arrays: a single host round trip
-        # instead of five (matters when the device sits behind a tunnel)
-        b, s, c, k, v = jax.device_get(out)
-        return {"boxes": b, "scores": s, "classes": c, "keypoints": k,
-                "valid": v}
+        return self.fetch(self.dispatch(images))
+
+    def pipeline(self, arrays, depth: int = 2, workers: int = 2):
+        """Yield detection dicts for an iterable of image batches, in
+        order, overlapping device execution with result fetches.
+
+        Up to `depth`+1 batches are in flight; `workers` threads fetch
+        concurrently so transfer round trips overlap each other as well as
+        device compute (measured 22 -> 39 fps on the 8-frame video chunks
+        through the axon tunnel vs. the sequential call-per-chunk loop).
+        Streaming latency rises by `depth` batches — use depth=0 for a
+        latency-critical consumer."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=max(1, workers))
+        q: deque = deque()
+        try:
+            for arr in arrays:
+                q.append(pool.submit(self.fetch, self.dispatch(arr)))
+                if len(q) > depth:
+                    yield q.popleft().result()
+            while q:
+                yield q.popleft().result()
+        finally:
+            pool.shutdown(wait=False)
