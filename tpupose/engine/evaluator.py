@@ -116,15 +116,19 @@ class TopDownEvaluator:
         update(coords, gt, vis); OKSAP gets per-source-image groups of
         (pred, score, gt, vis, area). Returns the merged scalar results.
         """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         from tpupose.metrics.oks_ap import OKSAP
 
         coord_metrics = [m for m in metrics if not isinstance(m, OKSAP)]
         ap_metrics = [m for m in metrics if isinstance(m, OKSAP)]
         groups: dict = {}
         next_id = 0
-        for batch in loader:
-            coords, scores = jax.device_get(
-                self.step(batch["images"], batch["center"], batch["scale"]))
+
+        def accumulate(fut, batch):
+            nonlocal next_id
+            coords, scores = fut.result()
             keep = np.asarray(batch["pad_mask"]).astype(bool) \
                 if "pad_mask" in batch else np.ones(len(coords), bool)
             coords, scores = coords[keep], scores[keep]
@@ -144,6 +148,25 @@ class TopDownEvaluator:
                 for i, iid in enumerate(ids):
                     groups.setdefault(int(iid), []).append(
                         (coords[i], inst_score[i], gt[i], vis[i], area[i]))
+
+        # Software-pipelined: each batch's eval program is dispatched (and
+        # its small (B, K, ·) result fetch started on a thread) before the
+        # previous batch's results are consumed, so device compute, result
+        # round trips, and host metric accumulation overlap. Accumulation
+        # order is preserved (the queue drains FIFO).
+        pool = ThreadPoolExecutor(max_workers=2)
+        inflight: deque = deque()
+        try:
+            for batch in loader:
+                out = self.step(batch["images"], batch["center"],
+                                batch["scale"])
+                inflight.append((pool.submit(jax.device_get, out), batch))
+                while len(inflight) > 2:
+                    accumulate(*inflight.popleft())
+            while inflight:
+                accumulate(*inflight.popleft())
+        finally:
+            pool.shutdown(wait=False)
         for items in groups.values():
             pk = np.stack([it[0] for it in items])
             ps = np.asarray([it[1] for it in items], np.float32)
