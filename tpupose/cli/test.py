@@ -99,11 +99,39 @@ def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
     paths = sorted(
         p for ext in ("*.jpg", "*.jpeg", "*.png")
         for p in glob.glob(os.path.join(images_dir, ext)))
-    for p in paths:
+
+    # decode+resize prefetches on a thread; detection is software-
+    # pipelined (predictor.pipeline) so the per-image device round trip
+    # overlaps the next images' loads and forwards; rendering consumes
+    # results strictly in order.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(p):
         pil = Image.open(p).convert("RGB")
+        return pil, np.asarray(pil.resize((W, H)), np.uint8)
+
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    def loaded():
+        q: deque = deque()
+        for p in paths:
+            q.append(pool.submit(load, p))
+            if len(q) > 2:
+                yield q.popleft().result()
+        while q:
+            yield q.popleft().result()
+
+    metas: deque = deque()   # bounded by the pipeline's in-flight depth
+
+    def arrays():
+        for p, (pil, arr) in zip(paths, loaded()):
+            metas.append((p, pil))
+            yield arr[None]
+
+    for det in predictor.pipeline(arrays()):
+        p, pil = metas.popleft()
         w0, h0 = pil.size
-        img = np.asarray(pil.resize((W, H)), np.uint8)
-        det = predictor(img[None])
         ok = det["keypoints"][0].copy()
         ov = det["valid"][0]
         # rescale to original resolution (HPE/test.py:356-361)
@@ -114,6 +142,7 @@ def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
         out_path = os.path.join(output_dir, os.path.basename(p))
         Image.fromarray(out).save(out_path)
         printT(f"{p}: {int(ov.sum())} detections -> {out_path}")
+    pool.shutdown(wait=False)
     printS(f"processed {len(paths)} images")
 
 
