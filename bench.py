@@ -362,24 +362,43 @@ def bench_video():
     ts = TwoStagePosePredictor(pstate, crop_size=(256, 192),
                                heatmap_size=(64, 48), max_persons=16)
     tracker2 = PoseTracker()   # feature dim differs from stage-1 tracker
-    holder = {"dev": jax.device_put(batch)}
 
-    def chunk2():
-        cur = holder["dev"]
-        holder["dev"] = jax.device_put(batch)
-        det = pred(cur)
-        coords, ps = ts.pose_from_boxes(cur, det["boxes"][:, :16],
-                                        det["valid"][:, :16])
+    def track_chunk2(det):
         for bi in range(VB):
-            v = det["valid"][bi, :16]
-            boxes = det["boxes"][bi, :16][v]
-            kpts = np.concatenate([coords[bi][v], ps[bi][v][..., None]], -1)
+            v = det["valid"][bi]
+            boxes = det["boxes"][bi][v]
+            kpts = det["keypoints"][bi][v]
             feats = (kpts[..., :2].reshape(len(boxes), -1) / W
                      if len(boxes) else np.zeros((0, 34)))
             tracker2.update(boxes, feats, kpts)
-        return coords
 
-    dt2 = _steady_s(lambda: chunk2(), lambda c: None, n1=2, n2=8)
+    def run2(n):
+        """Pipelined two-stage chunks exactly as cli/video runs them: the
+        pose program is chained onto the detector's device outputs (boxes
+        never visit the host between stages), one fetch per chunk, depth-2
+        in-flight with threaded fetches, causal in-order tracking."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        q = deque()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            arr = jax.device_put(batch)
+            q.append(pool.submit(
+                ts.fetch, ts.dispatch_from_det(arr, pred.dispatch(arr))))
+            if len(q) > 2:
+                track_chunk2(q.popleft().result())
+        while q:
+            track_chunk2(q.popleft().result())
+        pool.shutdown(wait=False)
+        return time.perf_counter() - t0
+
+    run2(3)  # warmup (compile)
+    dt2 = float("inf")
+    for _ in range(2):
+        t1, t2 = run2(3), run2(11)
+        dt2 = min(dt2, max((t2 - t1) / 8, 1e-9))
     out["two_stage_fps"] = round(VB / dt2, 2)
     return out
 

@@ -129,27 +129,20 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
     # BEFORE chunk i's results are consumed, so device compute, result
     # round trips, and host tracking all overlap. Tracking stays causal:
     # the in-flight queue is drained strictly in order. The two-stage
-    # variant re-consumes the frames + boxes on device, so it runs at
-    # depth 0 (plain call-per-chunk).
+    # variant chains the pose program onto the detector's device outputs
+    # (TwoStagePosePredictor.dispatch_from_det — boxes never visit the
+    # host between stages), so it pipelines identically.
     fetch_pool = ThreadPoolExecutor(max_workers=2)
-    inflight: deque = deque()       # (chunk_paths, pils, arr, det_future)
-    depth = 0 if two_stage is not None else 2
+    inflight: deque = deque()       # (chunk_paths, pils, det_future)
+    depth = 2
 
     log_path = os.path.join(output_dir, "tracks.jsonl")
     fi = 0
     with open(log_path, "w") as log:
         def drain_one():
             nonlocal fi
-            chunk, pils, arr, fut = inflight.popleft()
+            chunk, pils, fut = inflight.popleft()
             det = fut.result()
-            if two_stage is not None:
-                D = two_stage.max_persons
-                coords, pscores = two_stage.pose_from_boxes(
-                    arr, det["boxes"][:, :D], det["valid"][:, :D])
-                det = {"boxes": det["boxes"][:, :D],
-                       "valid": det["valid"][:, :D],
-                       "keypoints": np.concatenate(
-                           [coords, pscores[..., None]], -1)}
             for bi, (p, pil) in enumerate(zip(chunk, pils)):
                 w0, h0 = pil.size
                 v = det["valid"][bi]
@@ -184,8 +177,13 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
             pils, arr = pending.result()
             pending = (pool.submit(load_chunk, chunks[ci + 1])
                        if ci + 1 < len(chunks) else None)
-            inflight.append((chunk, pils, arr, fetch_pool.submit(
-                predictor.fetch, predictor.dispatch(arr))))
+            out = predictor.dispatch(arr)
+            if two_stage is not None:
+                fut = fetch_pool.submit(
+                    two_stage.fetch, two_stage.dispatch_from_det(arr, out))
+            else:
+                fut = fetch_pool.submit(predictor.fetch, out)
+            inflight.append((chunk, pils, fut))
             while len(inflight) > depth:
                 drain_one()
         while inflight:

@@ -101,6 +101,27 @@ class TwoStagePosePredictor:
             jnp.asarray(valid)))
         return coords, scores
 
+    def dispatch_from_det(self, frames, det_out):
+        """Chain stage 2 directly onto a YoloPosePredictor.dispatch result
+        ON DEVICE: det_out is the dispatched (boxes, scores, classes,
+        kpts, valid) tuple; the boxes never visit the host between stages.
+        Returns on-device results for fetch() — pairing the two lets a
+        caller pipeline whole two-stage chunks like single-stage ones."""
+        b, s, _, _, v = det_out
+        D = self.max_persons
+        boxes, scores, valid = b[:, :D], s[:, :D], v[:, :D]
+        coords, pscores = self._step(self.pose_state, jnp.asarray(frames),
+                                     boxes, valid)
+        return boxes, scores, valid, coords, pscores
+
+    @staticmethod
+    def fetch(out):
+        """One device_get for the whole two-stage chunk result."""
+        boxes, scores, valid, coords, pscores = jax.device_get(out)
+        kpts = np.concatenate([coords, pscores[..., None]], -1)
+        return {"boxes": boxes, "det_scores": scores, "valid": valid,
+                "keypoints": kpts}
+
     def __call__(self, frames):
         """frames (B, Hf, Wf, 3) uint8 -> dict with detector boxes + refined
         keypoints (B, D, K, 3) [x, y, score] in frame pixels."""
