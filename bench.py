@@ -125,6 +125,27 @@ def bench_r50_infer():
         if batch == 128:
             out["img_per_s"] = round(batch / dt, 2)
         out[f"p50_ms_b{batch}"] = round(p50, 2)
+
+    # int8 PTQ serving path (ops/quant.py): per-channel int8 weights +
+    # calibrated activations on the MXU; decode stays fp32
+    from tpupose.ops.quant import calibrate, quantized_apply
+
+    batch = 128
+    imgs = np.random.randint(0, 256, (batch, H, W, 3), np.uint8)
+    scales = calibrate(model.apply, variables, [jnp.asarray(imgs)],
+                       preprocess=normalize_images, train=False)
+
+    @jax.jit
+    def step_q(images):
+        x = normalize_images(images)
+        hm = quantized_apply(model.apply, variables, scales, x, train=False)
+        hm = jnp.transpose(hm, (0, 3, 1, 2))
+        return decode_heatmaps(hm, method="dark")
+
+    dev = jax.device_put(jnp.asarray(imgs))
+    probe = lambda r: np.asarray(r[1])
+    dt = _steady_s(lambda: step_q(dev), probe)
+    out["int8_img_per_s"] = round(batch / dt, 2)
     return out
 
 

@@ -50,12 +50,17 @@ class TopDownEvaluator:
     def __init__(self, state, heatmap_size, decode: str = "dark",
                  flip_test: bool = True, flip_pairs=None,
                  blur_kernel: int = 11, sigma: float = 2.0,
-                 shard_fn=None):
+                 shard_fn=None, quant_scales=None):
         """shard_fn (optional): host batch pytree -> mesh-sharded arrays
         (e.g. MeshManager.shard_batch). With it, eval batches are sharded
         over the mesh 'data' axis so metric evaluation runs data-parallel
         across all chips (GSPMD parallelizes the jitted program from the
-        input shardings); without it, inputs land on the default device."""
+        input shardings); without it, inputs land on the default device.
+
+        quant_scales (optional): {conv_path: amax} from ops.quant.calibrate
+        — compiles the forward with int8 convolutions (per-channel int8
+        weights, calibrated per-tensor activations); decode/flip/merge stay
+        fp32/bf16."""
         self.state = state
         self.heatmap_size = tuple(heatmap_size)
         self.flip_pairs = (np.asarray(flip_pairs) if flip_pairs is not None
@@ -65,7 +70,18 @@ class TopDownEvaluator:
         self.blur_kernel = blur_kernel
         self.sigma = sigma
         self.shard_fn = shard_fn
+        self.quant_scales = dict(quant_scales) if quant_scales else None
         self._step = jax.jit(partial(self._eval_step))
+
+    def _apply(self, state, x):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if self.quant_scales is not None:
+            from tpupose.ops.quant import quantized_apply
+
+            return quantized_apply(state.apply_fn, variables, self.quant_scales,
+                                   x, train=False)
+        return state.apply_fn(variables, x, train=False)
 
     def _eval_step(self, state, images, centers, scales):
         """One fused program: normalize -> forward (+flipped forward) ->
@@ -75,14 +91,10 @@ class TopDownEvaluator:
         from tpupose.ops.preprocess import normalize_images
 
         x = normalize_images(images)
-        hm = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            x, train=False)                                   # (B, Hh, Wh, K)
+        hm = self._apply(state, x)                            # (B, Hh, Wh, K)
         hm = jnp.transpose(hm, (0, 3, 1, 2))                  # NKHW
         if self.flip_test:
-            hm_f = state.apply_fn(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                x[:, :, ::-1], train=False)
+            hm_f = self._apply(state, x[:, :, ::-1])
             hm_f = jnp.transpose(hm_f, (0, 3, 1, 2))
             pairs = self.flip_pairs if len(self.flip_pairs) else np.zeros((0, 2), np.int64)
             hm = merge_flip(hm, hm_f, pairs)

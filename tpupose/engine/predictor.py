@@ -22,12 +22,30 @@ import numpy as np
 
 class HeatmapPredictor:
     def __init__(self, state, heatmap_size, decode: str = "dark",
-                 flip_test: bool = False, flip_pairs=None):
+                 flip_test: bool = False, flip_pairs=None,
+                 quant_scales=None):
+        """quant_scales: {conv_path: amax} from `calibrate_int8` — serve
+        the forward with int8 MXU convolutions (see ops/quant.py)."""
         from tpupose.engine.evaluator import TopDownEvaluator
 
         self._ev = TopDownEvaluator(state, heatmap_size, decode=decode,
                                     flip_test=flip_test,
-                                    flip_pairs=flip_pairs)
+                                    flip_pairs=flip_pairs,
+                                    quant_scales=quant_scales)
+
+    @staticmethod
+    def calibrate_int8(state, images):
+        """Collect int8 activation scales from representative uint8 crop
+        batches (iterable of (B, H, W, 3) arrays, or one array)."""
+        from tpupose.ops.preprocess import normalize_images
+        from tpupose.ops.quant import calibrate
+
+        if hasattr(images, "shape"):
+            images = [images]
+        return calibrate(
+            state.apply_fn,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, preprocess=normalize_images, train=False)
 
     def __call__(self, images, centers=None, scales=None):
         """images: (B, H, W, 3) uint8 crops. centers/scales map results back
@@ -47,7 +65,8 @@ class HeatmapPredictor:
 class YoloPosePredictor:
     def __init__(self, state, num_classes: int, num_keypoints: int,
                  conf_threshold: float = 0.25, iou_threshold: float = 0.45,
-                 max_detections: int = 100, has_box_branch: bool = False):
+                 max_detections: int = 100, has_box_branch: bool = False,
+                 quant_scales=None):
         self.state = state
         self.nc = num_classes
         self.K = num_keypoints
@@ -57,16 +76,43 @@ class YoloPosePredictor:
         # v8-style heads (PoseHead reg_max>0) decode real boxes first:
         # (B, A, 4 + nc + 3K); box-free heads derive boxes from keypoints
         self.has_box = has_box_branch
+        # int8 serving: {path: amax} from calibrate_int8 (ops/quant.py);
+        # dense+conv layers run on the MXU in int8, NMS/decode stay fp32
+        self.quant_scales = dict(quant_scales) if quant_scales else None
         self._step = jax.jit(self._infer)
+
+    @staticmethod
+    def calibrate_int8(state, images):
+        """Collect int8 activation scales from representative uint8 frame
+        batches (iterable of (B, H, W, 3) arrays, or one array)."""
+        from functools import partial
+
+        from tpupose.ops.preprocess import normalize_images
+        from tpupose.ops.quant import calibrate
+
+        if hasattr(images, "shape"):
+            images = [images]
+        return calibrate(
+            state.apply_fn,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, preprocess=partial(normalize_images, scale_only=True),
+            train=False)
 
     def _infer(self, state, images):
         from tpupose.ops.nms import batched_pose_nms
         from tpupose.ops.preprocess import normalize_images
 
         x = normalize_images(images, scale_only=True)
-        dec = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            x, train=False)                # (B, A, [4 +] nc + 3K)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if self.quant_scales is not None:
+            from tpupose.ops.quant import quantized_apply
+
+            dec = quantized_apply(state.apply_fn, variables,
+                                  self.quant_scales, x, train=False)
+        else:
+            dec = state.apply_fn(variables, x, train=False)
+            # (B, A, [4 +] nc + 3K)
         off = 4 if self.has_box else 0
         cls = dec[..., off: off + self.nc]
         scores = cls.max(-1)
