@@ -127,3 +127,55 @@ def test_oksap_end_to_end_shifted(coco_val_root):
     assert out["mAP50"] > 0.9, out
     assert out["mAP75"] < 0.5, out
     assert out["mAP50"] > out["mAP75"]
+
+
+def test_oksap_end_to_end_int8(coco_val_root):
+    """The full quantized pipeline (calibrate -> int8 conv -> DARK decode
+    -> OKS-AP) preserves COCO mAP on the GT-perfect synthetic set."""
+    import os as _os
+
+    from tpupose.data.coco import CocoTopDownDataset
+    from tpupose.data.loader import BatchLoader
+    from tpupose.engine.evaluator import TopDownEvaluator
+    from tpupose.metrics.oks_ap import OKSAP
+    from tpupose.ops.quant import calibrate
+
+    class Model(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            m = jnp.asarray(IMAGENET_MEAN)
+            s = jnp.asarray(IMAGENET_STD)
+            x = x.astype(jnp.float32) * s + m
+            return nn.Conv(K, (4, 4), (4, 4), padding="VALID",
+                           use_bias=False, dtype=jnp.float32,
+                           name="pool_conv")(x) * 16.0
+
+    state = _make_state(Model())
+    # per-channel box-filter kernel: channel k pools image channel k
+    kernel = np.zeros((4, 4, 3, K), np.float32)
+    for k in range(K):
+        kernel[:, :, k, k] = 1.0 / 16.0
+    state = state.replace(params={"pool_conv": {"kernel": jnp.asarray(kernel)}})
+
+    ds = CocoTopDownDataset(
+        image_dir=_os.path.join(coco_val_root, "val2017"),
+        ann_file=_os.path.join(coco_val_root, "annotations",
+                               "person_keypoints_val2017.json"),
+        image_size=IMG_SIZE, heatmap_size=HM_SIZE, is_train=False)
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, drop_last=False,
+                         pad_last=True)
+
+    batch = next(iter(loader))
+    from tpupose.ops.preprocess import normalize_images
+    scales = calibrate(
+        state.apply_fn,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        [jnp.asarray(batch["images"])], preprocess=normalize_images,
+        train=False)
+    assert "pool_conv" in scales
+
+    sigmas = np.full(K, 0.05, np.float32)
+    ev = TopDownEvaluator(state, HM_SIZE, decode="dark", flip_test=False,
+                          quant_scales=scales)
+    out = ev.run(loader, [OKSAP(num_classes=1, sigmas=sigmas)])
+    assert out["mAP"] > 0.95, out
