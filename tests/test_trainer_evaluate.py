@@ -55,6 +55,30 @@ def test_evaluate_runs_and_returns_metrics(tmp_path):
     assert "test line" in open(log).read()
 
 
+def test_evaluate_int8_config_knob(tmp_path):
+    """cfg.eval.int8=True: Trainer.evaluate calibrates on the first valid
+    batch and runs the quantized eval program; metrics stay finite and
+    close to the bf16 run on the same weights."""
+    from tpupose.engine.trainer import Trainer
+
+    cfg = _cfg(tmp_path)
+    tr = Trainer(cfg)
+    ref = tr.evaluate()
+    cfg_q = _cfg(tmp_path)
+    cfg_q.eval.int8 = True
+    tr_q = Trainer(cfg_q)
+    tr_q.state = tr_q.state.replace(params=tr.state.params,
+                                    batch_stats=tr.state.batch_stats)
+    out = tr_q.evaluate()
+    assert tr_q._evaluator.quant_scales, "int8 path not engaged"
+    assert np.isfinite(out["mpjpe"])
+    # same weights, same data: quantization moves MPJPE by at most ~10%
+    # of the image diagonal (random-init heatmaps are near-flat, so the
+    # argmax is noise-sensitive; trained models agree within 1px —
+    # tests/test_quant.py)
+    assert abs(out["mpjpe"] - ref["mpjpe"]) < 15.0, (out, ref)
+
+
 def test_evaluator_sharded_matches_single_device():
     """Mesh-sharded metric eval (shard_fn) returns the same coords/scores
     as the default single-device placement — GSPMD parallelizes the eval

@@ -49,7 +49,9 @@ def test_run_video_batched(tmp_path):
 @pytest.mark.slow
 def test_run_video_two_stage(tmp_path):
     """pose_cfg= switches on the two-stage path: detector boxes -> device
-    crops -> top-down heatmap pose (BASELINE config 5's literal shape)."""
+    crops -> top-down heatmap pose (BASELINE config 5's literal shape).
+    Runs with eval.int8=True so BOTH stages go through the quantized
+    serving path (detector + stage-2 calibration on the first frame)."""
     frames_dir = tmp_path / "frames"
     out_dir = tmp_path / "out2"
     frames_dir.mkdir()
@@ -78,6 +80,7 @@ def test_run_video_two_stage(tmp_path):
     cfg.train.mixed_precision = False
     cfg.eval.video_batch = 2
     cfg.eval.conf_threshold = 0.0
+    cfg.eval.int8 = True
     run_video(cfg, str(frames_dir), str(out_dir), pose_cfg=str(pose_yaml))
 
     lines = [json.loads(s) for s in

@@ -84,6 +84,21 @@ def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
     else:
         printW("no --ckpt given: running with random weights")
 
+    paths = sorted(
+        p for ext in ("*.jpg", "*.jpeg", "*.png")
+        for p in glob.glob(os.path.join(images_dir, ext)))
+
+    # eval.int8: quantized serving (ops/quant.py) calibrated on the first
+    # image of the run
+    quant_scales = None
+    if cfg.eval.int8 and paths:
+        from PIL import Image as _Image
+
+        first = np.asarray(_Image.open(paths[0]).convert("RGB")
+                           .resize((W, H)), np.uint8)[None]
+        quant_scales = YoloPosePredictor.calibrate_int8(state, first)
+        printT(f"int8 serving: calibrated {len(quant_scales)} layers")
+
     # forward (+ kpt-extent or DFL boxes) + on-device NMS is ONE compiled
     # program with a single host fetch (engine/predictor.py) — the
     # reference's host-side conf-filter/NMS loop (HPE/test.py:69-185)
@@ -94,11 +109,8 @@ def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
         conf_threshold=cfg.eval.conf_threshold,
         iou_threshold=cfg.eval.iou_threshold,
         max_detections=cfg.eval.max_detections,
-        has_box_branch=(cfg.model.reg_max > 0 or cfg.loss.name == "v8_pose"))
-
-    paths = sorted(
-        p for ext in ("*.jpg", "*.jpeg", "*.png")
-        for p in glob.glob(os.path.join(images_dir, ext)))
+        has_box_branch=(cfg.model.reg_max > 0 or cfg.loss.name == "v8_pose"),
+        quant_scales=quant_scales)
 
     # decode+resize prefetches on a thread; detection is software-
     # pipelined (predictor.pipeline) so the per-image device round trip

@@ -59,13 +59,28 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
         state, _ = mgr.restore(state)
         mgr.close()
 
+    # eval.int8: quantized serving (ops/quant.py) calibrated on the first
+    # frame of the run (detector) / the first chunk's crops (stage 2)
+    det_scales = None
+    if cfg.eval.int8:
+        probe = natural_sort(
+            p for e in ("*.jpg", "*.jpeg", "*.png")
+            for p in glob.glob(os.path.join(frames_dir, e)))
+        if probe:
+            first = np.asarray(Image.open(probe[0]).convert("RGB")
+                               .resize((W, H)), np.uint8)[None]
+            det_scales = YoloPosePredictor.calibrate_int8(state, first)
+            printT(f"int8 serving: detector calibrated "
+                   f"({len(det_scales)} layers)")
+
     predictor = YoloPosePredictor(
         state, num_classes=cfg.model.num_classes,
         num_keypoints=cfg.model.num_keypoints,
         conf_threshold=cfg.eval.conf_threshold,
         iou_threshold=cfg.eval.iou_threshold,
         max_detections=cfg.eval.max_detections,
-        has_box_branch=(cfg.model.reg_max > 0 or cfg.loss.name == "v8_pose"))
+        has_box_branch=(cfg.model.reg_max > 0 or cfg.loss.name == "v8_pose"),
+        quant_scales=det_scales)
     tracker = PoseTracker()
 
     # Optional two-stage refinement (BASELINE config 5's literal shape:
@@ -90,10 +105,24 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
             mgr = CheckpointManager(pose_ckpt)
             pstate, _ = mgr.restore(pstate)
             mgr.close()
+        pose_scales = None
+        if cfg.eval.int8:
+            from tpupose.engine.predictor import HeatmapPredictor
+
+            probe = natural_sort(
+                p for e in ("*.jpg", "*.jpeg", "*.png")
+                for p in glob.glob(os.path.join(frames_dir, e)))
+            if probe:
+                crop = np.asarray(Image.open(probe[0]).convert("RGB")
+                                  .resize((pW, pH)), np.uint8)[None]
+                pose_scales = HeatmapPredictor.calibrate_int8(pstate, crop)
+                printT(f"int8 serving: stage-2 pose calibrated "
+                       f"({len(pose_scales)} layers)")
         two_stage = TwoStagePosePredictor(
             pstate, crop_size=(pH, pW),
             heatmap_size=tuple(pcfg.model.heatmap_size),
-            max_persons=min(cfg.eval.max_detections, 16))
+            max_persons=min(cfg.eval.max_detections, 16),
+            quant_scales=pose_scales)
         n_kpts = pcfg.model.num_keypoints
 
     frames = natural_sort(

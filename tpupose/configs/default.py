@@ -96,6 +96,9 @@ class EvalConfig:
     video_batch: int = 8                # frames per device batch (cli/video)
     interval: int = 1
     run_metrics: bool = False           # metric eval each interval (heatmap)
+    int8: bool = False                  # serve inference/eval with int8 PTQ
+                                        # (ops/quant.py; calibrated on the
+                                        # first batch seen)
     # metric set for Trainer.evaluate / --test: names from tpupose.metrics
     metrics: tuple = ("pck", "mpjpe", "oks_ap")
 

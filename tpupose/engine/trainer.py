@@ -276,6 +276,15 @@ class Trainer:
             pairs = getattr(self.valid_ds, "flip_pairs", None)
             if pairs is None and self.cfg.model.num_keypoints != 17:
                 pairs = np.zeros((0, 2), np.int64)
+            # eval.int8: quantized eval serving, calibrated on the first
+            # validation batch (ops/quant.py)
+            quant_scales = None
+            if self.cfg.eval.int8:
+                from tpupose.engine.predictor import HeatmapPredictor
+
+                first = next(iter(self.valid_loader))
+                quant_scales = HeatmapPredictor.calibrate_int8(
+                    self.state, np.asarray(first["images"]))
             self._evaluator = TopDownEvaluator(
                 self.state, tuple(self.cfg.model.heatmap_size),
                 decode=self.cfg.eval.decode,
@@ -283,7 +292,8 @@ class Trainer:
                 flip_pairs=pairs,
                 blur_kernel=self.cfg.eval.blur_kernel,
                 sigma=self.cfg.data.sigma,
-                shard_fn=self.mesh_mgr.shard_batch)
+                shard_fn=self.mesh_mgr.shard_batch,
+                quant_scales=quant_scales)
         self._evaluator.state = self.state
         return self._evaluator
 

@@ -53,7 +53,7 @@ class TwoStagePosePredictor:
 
     def __init__(self, pose_state, crop_size, heatmap_size,
                  max_persons: int = 16, decode: str = "dark",
-                 padding: float = 1.25, detector=None):
+                 padding: float = 1.25, detector=None, quant_scales=None):
         self.pose_state = pose_state
         self.crop_size = tuple(crop_size)
         self.heatmap_size = tuple(heatmap_size)
@@ -61,6 +61,9 @@ class TwoStagePosePredictor:
         self.decode = decode
         self.padding = padding
         self.detector = detector
+        # int8 serving of the stage-2 heatmap model (ops/quant.py scales;
+        # HeatmapPredictor.calibrate_int8 on representative crops)
+        self.quant_scales = dict(quant_scales) if quant_scales else None
         self._step = jax.jit(partial(self._pose_step))
 
     def _pose_step(self, state, frames, boxes, valid):
@@ -83,9 +86,15 @@ class TwoStagePosePredictor:
             center.reshape(B * D, 2), scale.reshape(B * D, 2))
         crops = crops_from_frames_auto(frames, mats, (H, W))  # (B*D,H,W,3)
         x = normalize_images(crops)
-        hm = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            x, train=False)                                    # (B*D,Hh,Wh,K)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if self.quant_scales is not None:
+            from tpupose.ops.quant import quantized_apply
+
+            hm = quantized_apply(state.apply_fn, variables,
+                                 self.quant_scales, x, train=False)
+        else:
+            hm = state.apply_fn(variables, x, train=False)     # (B*D,Hh,Wh,K)
         hm = jnp.transpose(hm, (0, 3, 1, 2))
         coords, scores = decode_heatmaps(hm, self.decode)
         back = jax.vmap(lambda c, ct, sc: affine_transform_points(
