@@ -346,7 +346,7 @@ def bench_video():
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, H, W, 3)), optax.sgd(0.0))
     pred = YoloPosePredictor(state, num_classes=NC, num_keypoints=K,
-                             conf_threshold=0.01)
+                             conf_threshold=0.01, appearance=True)
     tracker = PoseTracker()
     rng = np.random.RandomState(0)
     VB = 8  # frames per device batch (cli/video video_batch default)
@@ -357,8 +357,8 @@ def bench_video():
             v = det["valid"][bi]
             boxes = det["boxes"][bi][v]
             kpts = det["keypoints"][bi][v]
-            feats = (kpts[..., :2].reshape(len(boxes), -1) / W
-                     if len(boxes) else np.zeros((0, 2 * K)))
+            # on-device DINO-feature embeddings (ops/roi), as cli/video
+            feats = det["features"][bi][v]
             tracker.update(boxes, feats, kpts)
 
     def run(n):
@@ -400,8 +400,8 @@ def bench_video():
             v = det["valid"][bi]
             boxes = det["boxes"][bi][v]
             kpts = det["keypoints"][bi][v]
-            feats = (kpts[..., :2].reshape(len(boxes), -1) / W
-                     if len(boxes) else np.zeros((0, 34)))
+            # detector DINO features pass through the two-stage chain
+            feats = det["features"][bi][v]
             tracker2.update(boxes, feats, kpts)
 
     def run2(n):

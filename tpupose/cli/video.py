@@ -80,7 +80,8 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
         iou_threshold=cfg.eval.iou_threshold,
         max_detections=cfg.eval.max_detections,
         has_box_branch=(cfg.model.reg_max > 0 or cfg.loss.name == "v8_pose"),
-        quant_scales=det_scales)
+        quant_scales=det_scales,
+        appearance=True)   # on-device DINO-feature embeddings per detection
     tracker = PoseTracker()
 
     # Optional two-stage refinement (BASELINE config 5's literal shape:
@@ -177,11 +178,16 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
                 v = det["valid"][bi]
                 boxes = det["boxes"][bi][v]
                 kpts = det["keypoints"][bi][v]
-                # appearance embedding: normalized keypoint geometry (cheap
-                # DINO-feature stand-in; swap in backbone features via
-                # models.meta.gaussian_pool when feature export is wired)
-                feats = kpts[..., :2].reshape(len(boxes), -1) / max(H, W) \
-                    if len(boxes) else np.zeros((0, 2 * n_kpts))
+                # appearance embedding: the detector backbone's deepest
+                # feature map ROI-pooled at each box ON DEVICE
+                # (ops/roi.roi_mean_pool) — true DINO-feature tracking;
+                # geometry is the fallback when features are absent
+                if "features" in det:
+                    feats = det["features"][bi][v]
+                else:
+                    feats = (kpts[..., :2].reshape(len(boxes), -1)
+                             / max(H, W) if len(boxes)
+                             else np.zeros((0, 2 * n_kpts)))
                 tracks = tracker.update(boxes, feats, kpts)
                 log.write(json.dumps({
                     "frame": fi, "file": os.path.basename(p),

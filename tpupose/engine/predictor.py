@@ -66,7 +66,7 @@ class YoloPosePredictor:
     def __init__(self, state, num_classes: int, num_keypoints: int,
                  conf_threshold: float = 0.25, iou_threshold: float = 0.45,
                  max_detections: int = 100, has_box_branch: bool = False,
-                 quant_scales=None):
+                 quant_scales=None, appearance: bool = False):
         self.state = state
         self.nc = num_classes
         self.K = num_keypoints
@@ -79,6 +79,12 @@ class YoloPosePredictor:
         # int8 serving: {path: amax} from calibrate_int8 (ops/quant.py);
         # dense+conv layers run on the MXU in int8, NMS/decode stay fp32
         self.quant_scales = dict(quant_scales) if quant_scales else None
+        # appearance=True additionally returns per-detection DINO-feature
+        # embeddings (backbone deepest map ROI-mean-pooled at the kept
+        # boxes, ops/roi.py) — the tracker's appearance signal, computed
+        # on device from features the detector already produced
+        # (reference pose/dino_tracking.ipynb re-embeds host crops)
+        self.appearance = appearance
         self._step = jax.jit(self._infer)
 
     @staticmethod
@@ -98,6 +104,23 @@ class YoloPosePredictor:
             images, preprocess=partial(normalize_images, scale_only=True),
             train=False)
 
+    @staticmethod
+    def _backbone_filter(mod, method):
+        return (method == "__call__"
+                and type(mod).__name__ in ("ConvNeXt", "DinoViT"))
+
+    @staticmethod
+    def _deepest_feature(captured):
+        """Pull the deepest backbone map out of a capture_intermediates
+        tree: ConvNeXt returns a stage list (take the stride-32 map),
+        DinoViT a dict with per-block 'intermediates' (take the last)."""
+        sub = next(iter(captured["intermediates"].values()))
+        val = sub["__call__"][0]
+        if isinstance(val, dict):                  # DinoViT output
+            inter = val["intermediates"]
+            return inter[max(inter.keys())]
+        return val[-1]                             # ConvNeXt stage list
+
     def _infer(self, state, images):
         from tpupose.ops.nms import batched_pose_nms
         from tpupose.ops.preprocess import normalize_images
@@ -105,14 +128,22 @@ class YoloPosePredictor:
         x = normalize_images(images, scale_only=True)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
+        kw = {}
+        if self.appearance:
+            kw = dict(capture_intermediates=self._backbone_filter,
+                      mutable=["intermediates"])
         if self.quant_scales is not None:
             from tpupose.ops.quant import quantized_apply
 
             dec = quantized_apply(state.apply_fn, variables,
-                                  self.quant_scales, x, train=False)
+                                  self.quant_scales, x, train=False, **kw)
         else:
-            dec = state.apply_fn(variables, x, train=False)
+            dec = state.apply_fn(variables, x, train=False, **kw)
             # (B, A, [4 +] nc + 3K)
+        fmap = None
+        if self.appearance:
+            dec, captured = dec
+            fmap = self._deepest_feature(captured)
         off = 4 if self.has_box else 0
         cls = dec[..., off: off + self.nc]
         scores = cls.max(-1)
@@ -130,7 +161,16 @@ class YoloPosePredictor:
             return batched_pose_nms(b, s, c, k, self.iou, self.conf,
                                     self.max_det)
 
-        return jax.vmap(per_image)(boxes, scores, classes, kpts)
+        out = jax.vmap(per_image)(boxes, scores, classes, kpts)
+        if fmap is not None:
+            from tpupose.ops.roi import roi_mean_pool
+
+            H, W = images.shape[1:3]
+            emb = roi_mean_pool(fmap, out[0], (H, W))
+            # bf16 on the wire: halves the (B, D, C) fetch through the
+            # tunnel; the tracker re-normalizes in fp32 on host
+            out = out + (emb.astype(jnp.bfloat16),)
+        return out
 
     def dispatch(self, images):
         """Enqueue the detection program for one batch and return the
@@ -142,12 +182,16 @@ class YoloPosePredictor:
 
     @staticmethod
     def fetch(out):
-        """Fetch dispatched results. One device_get for all five arrays: a
-        single host round trip instead of five (matters when the device
-        sits behind a network tunnel)."""
-        b, s, c, k, v = jax.device_get(out)
-        return {"boxes": b, "scores": s, "classes": c, "keypoints": k,
-                "valid": v}
+        """Fetch dispatched results. One device_get for all arrays: a
+        single host round trip instead of one per array (matters when the
+        device sits behind a network tunnel)."""
+        got = jax.device_get(out)
+        b, s, c, k, v = got[:5]
+        res = {"boxes": b, "scores": s, "classes": c, "keypoints": k,
+               "valid": v}
+        if len(got) > 5:                 # appearance=True embeddings
+            res["features"] = got[5]
+        return res
 
     def __call__(self, images):
         """images: (B, H, W, 3) uint8. Returns dict of fixed-size arrays:

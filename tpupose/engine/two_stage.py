@@ -116,20 +116,27 @@ class TwoStagePosePredictor:
         kpts, valid) tuple; the boxes never visit the host between stages.
         Returns on-device results for fetch() — pairing the two lets a
         caller pipeline whole two-stage chunks like single-stage ones."""
-        b, s, _, _, v = det_out
+        b, s, v = det_out[0], det_out[1], det_out[4]
         D = self.max_persons
         boxes, scores, valid = b[:, :D], s[:, :D], v[:, :D]
         coords, pscores = self._step(self.pose_state, jnp.asarray(frames),
                                      boxes, valid)
-        return boxes, scores, valid, coords, pscores
+        out = (boxes, scores, valid, coords, pscores)
+        if len(det_out) > 5:             # detector appearance embeddings
+            out = out + (det_out[5][:, :D],)
+        return out
 
     @staticmethod
     def fetch(out):
         """One device_get for the whole two-stage chunk result."""
-        boxes, scores, valid, coords, pscores = jax.device_get(out)
+        got = jax.device_get(out)
+        boxes, scores, valid, coords, pscores = got[:5]
         kpts = np.concatenate([coords, pscores[..., None]], -1)
-        return {"boxes": boxes, "det_scores": scores, "valid": valid,
-                "keypoints": kpts}
+        res = {"boxes": boxes, "det_scores": scores, "valid": valid,
+               "keypoints": kpts}
+        if len(got) > 5:
+            res["features"] = got[5]
+        return res
 
     def __call__(self, frames):
         """frames (B, Hf, Wf, 3) uint8 -> dict with detector boxes + refined
