@@ -101,6 +101,31 @@ def test_predictor_appearance_features(det_predictor):
             assert not np.allclose(feats[0, i], feats[0, j])
 
 
+def test_predictor_appearance_vit_backbone():
+    """The capture path also handles the DinoViT backbone, whose output is
+    a dict of per-block intermediates (deepest block is pooled)."""
+    import jax
+    import optax
+
+    from tpupose.engine.predictor import YoloPosePredictor
+    from tpupose.engine.train_state import create_train_state
+    from tpupose.models.dinov3_pose import DINOv3Pose
+
+    model = DINOv3Pose(backbone="dinov3_vit_small", num_keypoints=4,
+                       num_classes=2, neck_channels=(48, 96, 192),
+                       dtype=jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), optax.sgd(0.0))
+    pred = YoloPosePredictor(state, num_classes=2, num_keypoints=4,
+                             conf_threshold=0.0, max_detections=4,
+                             appearance=True)
+    imgs = np.random.RandomState(0).randint(
+        0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    det = pred(imgs)
+    assert det["features"].shape == (1, 4, 384)   # vit_small dim
+    assert np.isfinite(det["features"].astype(np.float32)).all()
+
+
 def test_two_stage_passes_features_through(det_predictor):
     import jax
     import optax
