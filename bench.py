@@ -150,6 +150,44 @@ def bench_r50_infer():
 
 
 # ---------------------------------------------------------------------------
+# beyond-parity serving head: SimCC-R50 256x192 e2e inference — the deconv
+# stack and the 2D DARK decode are replaced by 1D bin classification +
+# parabolic sub-bin refinement (models/simcc.py); same backbone as config 1
+# so the delta is the head's cost
+# ---------------------------------------------------------------------------
+
+def bench_simcc_infer():
+    import jax
+    import jax.numpy as jnp
+
+    from tpupose.models.simcc import SimCCPose
+    from tpupose.ops.decode import decode_simcc
+    from tpupose.ops.preprocess import normalize_images
+
+    model = SimCCPose(backbone="resnet50", num_keypoints=17,
+                      split_ratio=2.0, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    H, W = 256, 192
+    batch = 128
+    imgs = np.random.randint(0, 256, (batch, H, W, 3), np.uint8)
+    variables = model.init(rng, normalize_images(jnp.asarray(imgs)),
+                           train=False)
+
+    @jax.jit
+    def step(images):
+        x = normalize_images(images)
+        xl, yl = model.apply(variables, x, train=False)
+        return decode_simcc(xl, yl)
+
+    dev = jax.device_put(jnp.asarray(imgs))
+    probe = lambda r: np.asarray(r[1])
+    dt = _steady_s(lambda: step(dev), probe)
+    return {"img_per_s": round(batch / dt, 2),
+            "p50_ms_b1": round(_latency_p50(
+                lambda: step(dev[:1]), probe), 2)}
+
+
+# ---------------------------------------------------------------------------
 # config 2: R50 256x192 training (JointsMSE + in-step Gaussian targets +
 # on-device color jitter) — device step rate AND JPEG-on-disk pipeline rate
 # ---------------------------------------------------------------------------
@@ -441,7 +479,8 @@ def main():
     r50 = bench_r50_infer()
     extra = {"r50_infer": r50}
     if not quick:
-        for name, fn in (("r50_train", bench_r50_train),
+        for name, fn in (("simcc_infer", bench_simcc_infer),
+                         ("r50_train", bench_r50_train),
                          ("hrnet_w32_train", bench_hrnet_w32_train),
                          ("hrnet_w48_eval", bench_hrnet_w48_eval),
                          ("video", bench_video)):

@@ -28,8 +28,11 @@ class ModelConfig:
     num_keypoints: int = 17             # COCO-17 default; reference yolo config uses 4
     num_classes: int = 1                # reference dinov3_pose.yaml uses ncls 7
     # top-down heatmap options
-    heatmap_size: tuple = (64, 48)      # (H, W)
+    heatmap_size: tuple = (64, 48)      # (H, W); for simcc: the BIN grid
     deconv_channels: tuple = (256, 256, 256)
+    # simcc options (models/simcc.py): bins per input pixel; requires
+    # heatmap_size == image_size * split_ratio (Builder enforces)
+    split_ratio: float = 2.0
     # single-stage (yolo-pose) options
     neck_channels: tuple = (192, 384, 768)
     strides: tuple = (8, 16, 32)
@@ -57,6 +60,7 @@ class DataConfig:
     # crop and only applies the flip. False: classic host-side aug.
     device_affine: bool = False
     sigma: float = 2.0                  # Gaussian target sigma
+    simcc_sigma: float = 6.0            # 1D bin-target sigma (simcc family)
     # few-shot episodic options (reference: HPE/configs/default.py:21-53)
     n_way: int = 5
     k_shot: int = 1

@@ -59,6 +59,19 @@ class Builder:
                        reg_max=self._reg_max(), dtype=dtype)
         if m.name == "deeppose":
             return cls(backbone=m.backbone, num_keypoints=m.num_keypoints, dtype=dtype)
+        if m.name == "simcc":
+            # the bin grid doubles as cfg.model.heatmap_size so the joint
+            # transform / evaluator back-projection plumbing is shared —
+            # enforce the invariant here rather than fail mysteriously later
+            H, W = self.cfg.data.image_size
+            r = m.split_ratio
+            want = (int(H * r), int(W * r))
+            if tuple(m.heatmap_size) != want:
+                raise ValueError(
+                    f"simcc: model.heatmap_size must equal image_size x "
+                    f"split_ratio = {want}, got {tuple(m.heatmap_size)}")
+            return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
+                       split_ratio=r, dtype=dtype)
         # registry fallback: pass the common kwargs
         return cls(num_keypoints=m.num_keypoints, dtype=dtype)
 
@@ -89,6 +102,10 @@ class Builder:
             from tpupose.losses.heatmap import coord_mse_loss
 
             return coord_mse_loss
+        if name == "simcc_kl":
+            from tpupose.losses.simcc import simcc_kl_loss
+
+            return simcc_kl_loss
         if name == "v8_pose":
             from tpupose.losses.v8 import v8PoseLoss
 

@@ -50,7 +50,7 @@ class TopDownEvaluator:
     def __init__(self, state, heatmap_size, decode: str = "dark",
                  flip_test: bool = True, flip_pairs=None,
                  blur_kernel: int = 11, sigma: float = 2.0,
-                 shard_fn=None, quant_scales=None):
+                 shard_fn=None, quant_scales=None, family: str = "heatmap"):
         """shard_fn (optional): host batch pytree -> mesh-sharded arrays
         (e.g. MeshManager.shard_batch). With it, eval batches are sharded
         over the mesh 'data' axis so metric evaluation runs data-parallel
@@ -71,7 +71,12 @@ class TopDownEvaluator:
         self.sigma = sigma
         self.shard_fn = shard_fn
         self.quant_scales = dict(quant_scales) if quant_scales else None
-        self._step = jax.jit(partial(self._eval_step))
+        # family: "heatmap" (2D maps + DARK/offset decode) or "simcc"
+        # (1D bin classification, models/simcc.py; heatmap_size = bin grid)
+        self.family = family
+        step = (self._simcc_eval_step if family == "simcc"
+                else self._eval_step)
+        self._step = jax.jit(partial(step))
 
     def _apply(self, state, x):
         variables = {"params": state.params,
@@ -100,6 +105,41 @@ class TopDownEvaluator:
             hm = merge_flip(hm, hm_f, pairs)
         coords, scores = decode_heatmaps(hm, self.decode, self.blur_kernel,
                                          self.sigma)
+
+        def back(c, center, scale):
+            m = get_affine_matrix(center, scale, 0.0, self.heatmap_size)
+            return affine_transform_points(c, m)
+
+        src = jax.vmap(back)(coords, centers, scales)
+        return src, scores
+
+    def _simcc_eval_step(self, state, images, centers, scales):
+        """SimCC twin of _eval_step (family simcc, models/simcc.py): one
+        fused program of normalize -> forward (+flipped) -> softmax-merge
+        -> argmax + parabolic sub-bin decode -> source coords. The bin grid
+        (Hb, Wb) = self.heatmap_size plays the heatmap grid's role in the
+        affine back-projection."""
+        from tpupose.ops.affine import (affine_transform_points,
+                                        get_affine_matrix)
+        from tpupose.ops.decode import decode_simcc, simcc_flip_back
+        from tpupose.ops.preprocess import normalize_images
+
+        x = normalize_images(images)
+        xl, yl = self._apply(state, x)
+        if self.flip_test:
+            xlf, ylf = self._apply(state, x[:, :, ::-1])
+            pairs = (self.flip_pairs if len(self.flip_pairs)
+                     else np.zeros((0, 2), np.int64))
+            xlb, ylb = simcc_flip_back(xlf, ylf, pairs)
+            # average PROBABILITIES (softmax is inside decode; averaging
+            # logits would geometric-mean the distributions instead)
+            xl = jnp.log(0.5 * jax.nn.softmax(xl.astype(jnp.float32), -1)
+                         + 0.5 * jax.nn.softmax(xlb.astype(jnp.float32), -1)
+                         + 1e-12)
+            yl = jnp.log(0.5 * jax.nn.softmax(yl.astype(jnp.float32), -1)
+                         + 0.5 * jax.nn.softmax(ylb.astype(jnp.float32), -1)
+                         + 1e-12)
+        coords, scores = decode_simcc(xl, yl)
 
         def back(c, center, scale):
             m = get_affine_matrix(center, scale, 0.0, self.heatmap_size)

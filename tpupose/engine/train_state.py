@@ -135,6 +135,62 @@ def make_heatmap_train_step(loss_fn, color_jitter_strength: float = 0.0,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_simcc_train_step(loss_fn, bins_hw, sigma: float = 6.0,
+                          color_jitter_strength: float = 0.0,
+                          jitter_seed: int = 0,
+                          affine_rotation: float = 0.0,
+                          affine_scale: float = 0.0):
+    """Train step for SimCC coordinate-classification models
+    (models/simcc.py). batch: {"images" uint8 NHWC, "joints" (B,K,2) in
+    BIN coordinates, "visibility" (B,K)}. The 1D Gaussian bin targets are
+    rendered inside the compiled step; optional on-device color jitter and
+    rotation/scale warp run exactly as in the heatmap step (joints live on
+    the bin grid, which the affine op treats as its target frame)."""
+    import jax.numpy as _jnp
+
+    from tpupose.losses.simcc import gaussian_1d_targets
+    from tpupose.ops.affine import random_affine_augment
+    from tpupose.ops.preprocess import (IMAGENET_MEAN, IMAGENET_STD,
+                                        color_jitter, normalize_images)
+
+    bins_hw = tuple(bins_hw)
+    use_affine = (affine_rotation > 0 or affine_scale > 0)
+
+    def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(jax.random.PRNGKey(jitter_seed), state.step)
+        rng_aff, rng_jit = jax.random.split(rng)
+        images = batch["images"]
+        joints, vis = batch["joints"], batch["visibility"]
+        if use_affine:
+            images, joints, vis = random_affine_augment(
+                images, joints, vis, rng_aff,
+                affine_rotation, affine_scale, bins_hw)
+        if color_jitter_strength > 0:
+            x = images.astype(_jnp.float32) * (1.0 / 255.0)
+            x = color_jitter(x, rng_jit, color_jitter_strength)
+            m = _jnp.asarray(IMAGENET_MEAN)
+            s = _jnp.asarray(IMAGENET_STD)
+            imgs = ((x - m) / s).astype(_jnp.bfloat16)
+        else:
+            imgs = normalize_images(images)
+        tx, ty, tw = gaussian_1d_targets(joints, vis, bins_hw, sigma)
+
+        def compute_loss(params):
+            preds, mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, train=True, mutable=["batch_stats"],
+            )
+            loss = loss_fn(preds, (tx, ty), tw)
+            return loss, mut.get("batch_stats", state.batch_stats)
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
 def make_regression_train_step(loss_fn):
     """Train step for coordinate-regression models (DeepPose).
 

@@ -26,7 +26,7 @@ from tpupose.engine.builder import Builder
 from tpupose.engine.checkpoint import CheckpointManager
 from tpupose.engine.train_state import (
     create_train_state, make_heatmap_eval_step, make_heatmap_train_step,
-    make_regression_train_step, make_yolo_train_step,
+    make_regression_train_step, make_simcc_train_step, make_yolo_train_step,
 )
 from tpupose.ops.heatmap import gaussian_heatmaps
 from tpupose.utils.logging import FileLogger, printM, printS, printT
@@ -73,6 +73,8 @@ class Trainer:
             self.family = "yolo"
         elif cfg.loss.name == "coord_mse":
             self.family = "regression"
+        elif cfg.loss.name == "simcc_kl":
+            self.family = "simcc"
         else:
             self.family = "heatmap"
         self.loss_fn = self.builder.loss(self.model)
@@ -95,6 +97,17 @@ class Trainer:
                 return total
 
             self.val_step = jax.jit(_val_step)
+        elif self.family == "simcc":
+            dev_aff = getattr(cfg.data, "device_affine", False)
+            self.train_step = make_simcc_train_step(
+                self.loss_fn,
+                bins_hw=tuple(cfg.model.heatmap_size),
+                sigma=cfg.data.simcc_sigma,
+                color_jitter_strength=cfg.data.color_jitter,
+                jitter_seed=cfg.train.seed,
+                affine_rotation=cfg.data.rotation_factor if dev_aff else 0.0,
+                affine_scale=cfg.data.scale_factor if dev_aff else 0.0)
+            self.eval_step = make_heatmap_eval_step()  # plain forward
         else:
             dev_aff = getattr(cfg.data, "device_affine", False)
             self.train_step = make_heatmap_train_step(
@@ -159,6 +172,15 @@ class Trainer:
         )
         if not for_eval:
             return dev
+        if self.family == "simcc":
+            from tpupose.losses.simcc import gaussian_1d_targets
+
+            tx, ty, tw = gaussian_1d_targets(
+                dev["joints"], dev["visibility"],
+                tuple(self.cfg.model.heatmap_size),
+                self.cfg.data.simcc_sigma)
+            return {"images": dev["images"], "target": (tx, ty),
+                    "target_weight": tw}
         hm_size = tuple(self.cfg.model.heatmap_size)
         target, tw = gaussian_heatmaps(dev["joints"], dev["visibility"],
                                        hm_size, self.cfg.data.sigma)
@@ -293,7 +315,8 @@ class Trainer:
                 blur_kernel=self.cfg.eval.blur_kernel,
                 sigma=self.cfg.data.sigma,
                 shard_fn=self.mesh_mgr.shard_batch,
-                quant_scales=quant_scales)
+                quant_scales=quant_scales,
+                family=("simcc" if self.family == "simcc" else "heatmap"))
         self._evaluator.state = self.state
         return self._evaluator
 

@@ -7,6 +7,7 @@ from tpupose.models.deeppose import DeepPose
 from tpupose.models.backbones.hrnet import HRNetPose
 from tpupose.models.fcmae import FCMAE
 from tpupose.models.fskd import FSKD
+from tpupose.models.simcc import SimCCPose
 from tpupose.models.heads import HeatmapHead, RegressionHead, ClassifyHead
 from tpupose.models.attention import Attention, GatedAttention
 from tpupose.models.meta import MetaSpace, gaussian_pool
@@ -18,6 +19,7 @@ MODELS = {
     "deeppose": DeepPose,
     "fcmae": FCMAE,
     "fskd": FSKD,
+    "simcc": SimCCPose,
 }
 
 
@@ -34,5 +36,6 @@ def get_model(name: str):
 
 __all__ = ["MODELS", "register_model", "get_model",
            "SimpleBaseline", "DINOv3Pose", "DeepPose", "HRNetPose",
-           "FCMAE", "FSKD", "HeatmapHead", "RegressionHead", "ClassifyHead",
+           "FCMAE", "FSKD", "SimCCPose",
+           "HeatmapHead", "RegressionHead", "ClassifyHead",
            "Attention", "GatedAttention", "MetaSpace", "gaussian_pool"]

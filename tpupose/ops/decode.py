@@ -171,3 +171,63 @@ def flip_back(flipped_heatmaps, flip_pairs, shift: bool = True):
 def merge_flip(heatmaps, flipped_heatmaps, flip_pairs):
     """Flip-test averaging (graded HRNet-W48 config)."""
     return 0.5 * (heatmaps + flip_back(flipped_heatmaps, flip_pairs))
+
+
+# ---------------------------------------------------------------------------
+# SimCC (1D coordinate classification) decode — models/simcc.py
+# ---------------------------------------------------------------------------
+
+def _parabolic_1d(logp, idx):
+    """3-point parabolic sub-bin refinement on log-probabilities.
+
+    logp (..., N), idx (...) int argmax -> fractional offset in (-0.5, 0.5):
+    the vertex of the parabola through (idx-1, idx, idx+1); clamped to 0 at
+    the borders (one-sided neighborhoods are unreliable)."""
+    n = logp.shape[-1]
+    i0 = jnp.clip(idx - 1, 0, n - 1)
+    i2 = jnp.clip(idx + 1, 0, n - 1)
+    f0 = jnp.take_along_axis(logp, i0[..., None], -1)[..., 0]
+    f1 = jnp.take_along_axis(logp, idx[..., None], -1)[..., 0]
+    f2 = jnp.take_along_axis(logp, i2[..., None], -1)[..., 0]
+    denom = f0 - 2.0 * f1 + f2
+    off = jnp.where(jnp.abs(denom) > 1e-9,
+                    0.5 * (f0 - f2) / jnp.where(jnp.abs(denom) > 1e-9,
+                                                denom, 1.0), 0.0)
+    off = jnp.clip(off, -0.5, 0.5)
+    interior = (idx > 0) & (idx < n - 1)
+    return jnp.where(interior, off, 0.0)
+
+
+def decode_simcc(x_logits, y_logits, refine: bool = True):
+    """SimCC decode: per-axis softmax -> argmax (+ parabolic sub-bin) ->
+    coords in BIN units, score = sqrt(px * py) of the two axis peaks.
+
+    x_logits (B, K, Wb), y_logits (B, K, Hb) -> coords (B, K, 2) (x, y) in
+    bin coordinates (the caller back-projects with the (Hb, Wb) grid, same
+    affine convention as heatmap decode), scores (B, K).
+    """
+    px = jax.nn.softmax(x_logits.astype(jnp.float32), axis=-1)
+    py = jax.nn.softmax(y_logits.astype(jnp.float32), axis=-1)
+    xi = jnp.argmax(px, -1)
+    yi = jnp.argmax(py, -1)
+    x = xi.astype(jnp.float32)
+    y = yi.astype(jnp.float32)
+    if refine:
+        x = x + _parabolic_1d(jnp.log(jnp.maximum(px, 1e-12)), xi)
+        y = y + _parabolic_1d(jnp.log(jnp.maximum(py, 1e-12)), yi)
+    sx = jnp.take_along_axis(px, xi[..., None], -1)[..., 0]
+    sy = jnp.take_along_axis(py, yi[..., None], -1)[..., 0]
+    return jnp.stack([x, y], -1), jnp.sqrt(sx * sy)
+
+
+def simcc_flip_back(x_logits_f, y_logits_f, flip_pairs):
+    """Un-flip SimCC logits from a horizontally-flipped forward: reverse
+    the x-bin axis and swap left/right keypoint channels (y unchanged in
+    space, channels swapped)."""
+    xl = x_logits_f[..., ::-1]
+    perm = jnp.arange(xl.shape[1])
+    if len(flip_pairs) > 0:
+        fp = jnp.asarray(flip_pairs)
+        perm = perm.at[fp[:, 0]].set(fp[:, 1])
+        perm = perm.at[fp[:, 1]].set(fp[:, 0])
+    return xl[:, perm], y_logits_f[:, perm]
