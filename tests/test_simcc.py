@@ -89,6 +89,33 @@ def test_simcc_flip_back():
     np.testing.assert_allclose(yb[:, 3], np.asarray(yl)[:, 3])
 
 
+def test_simcc_flip_back_equivariance_no_bias():
+    """A flip-equivariant model on a pixel-mirrored crop (p -> W-1-p, the
+    evaluator's x[:, :, ::-1]) emits x-bin mass at u_f = r*(W-1) - u under
+    the u = r*p crop->bin convention. flip_back with shift_bins = r-1 must
+    decode to EXACTLY the direct coordinate — plain reversal would be
+    biased by +(r-1) bins (+0.5 px at r=2)."""
+    from tpupose.ops.decode import decode_simcc, simcc_flip_back
+
+    W, r = 48, 2
+    Wb = W * r
+    u = np.array([[20.0, 37.5, 61.0]], np.float32)       # direct x bins
+    u_f = r * (W - 1) - u                                 # flipped-crop bins
+    g = np.arange(Wb, dtype=np.float32)
+    sigma = 3.0
+    xl_f = 10 * np.exp(-0.5 * ((g[None, None] - u_f[..., None]) / sigma) ** 2)
+    yl_f = 10 * np.exp(-0.5 * ((g[None, None] - 50.0) / sigma) ** 2)
+    xb, yb = simcc_flip_back(jnp.asarray(xl_f), jnp.asarray(yl_f),
+                             np.zeros((0, 2), np.int64), shift_bins=r - 1)
+    coords, _ = jax.device_get(decode_simcc(xb, yb))
+    np.testing.assert_allclose(coords[0, :, 0], u[0], atol=0.05)
+    # and WITHOUT the shift the decode is off by exactly r-1 = 1 bin
+    xb0, yb0 = simcc_flip_back(jnp.asarray(xl_f), jnp.asarray(yl_f),
+                               np.zeros((0, 2), np.int64))
+    coords0, _ = jax.device_get(decode_simcc(xb0, yb0))
+    np.testing.assert_allclose(coords0[0, :, 0], u[0] + (r - 1), atol=0.05)
+
+
 @pytest.fixture(scope="module")
 def tiny_simcc():
     from tpupose.engine.train_state import create_train_state
@@ -174,13 +201,19 @@ def test_simcc_evaluator_perfect_logits():
     xl0 = 20 * np.exp(-0.5 * ((gx[None, None] - joints_bins[..., 0:1]) / 3) ** 2)
     yl0 = 20 * np.exp(-0.5 * ((gy[None, None] - joints_bins[..., 1:2]) / 3) ** 2)
 
+    # what a flip-EQUIVARIANT model emits on the mirrored crop: Gaussians
+    # at u_f = r*(W-1) - u (u = r*p convention; r = Wb/W = 2 here), NOT the
+    # reversed array (which differs by the r-1 shift flip_back removes)
+    r = Wb / 64
+    uf = r * (64 - 1) - joints_bins[..., 0:1]
+    xlf0 = 20 * np.exp(-0.5 * ((gx[None, None] - uf) / 3) ** 2)
+
     def apply_fn(variables, x, train=False):
         # detect the flipped forward by comparing against the stored
-        # original column order; emit mirrored x logits for it (channels
-        # have no left/right pairs here: pairs=[] below)
+        # original column order (channels have no left/right pairs here:
+        # pairs=[] below)
         is_flip = jnp.allclose(x, apply_fn.x_orig[:, :, ::-1], atol=1e-5)
-        xl = jnp.where(is_flip, jnp.asarray(xl0[..., ::-1].copy()),
-                       jnp.asarray(xl0))
+        xl = jnp.where(is_flip, jnp.asarray(xlf0), jnp.asarray(xl0))
         return xl, jnp.asarray(yl0)
 
     imgs = rng.randint(0, 255, (B, 64, 64, 3)).astype(np.uint8)

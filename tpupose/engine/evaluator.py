@@ -130,7 +130,10 @@ class TopDownEvaluator:
             xlf, ylf = self._apply(state, x[:, :, ::-1])
             pairs = (self.flip_pairs if len(self.flip_pairs)
                      else np.zeros((0, 2), np.int64))
-            xlb, ylb = simcc_flip_back(xlf, ylf, pairs)
+            # split_ratio from the static shapes: Wb / crop W
+            r = xl.shape[-1] / images.shape[2]
+            xlb, ylb = simcc_flip_back(xlf, ylf, pairs,
+                                       shift_bins=int(round(r)) - 1)
             # average PROBABILITIES (softmax is inside decode; averaging
             # logits would geometric-mean the distributions instead)
             xl = jnp.log(0.5 * jax.nn.softmax(xl.astype(jnp.float32), -1)

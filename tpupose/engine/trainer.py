@@ -344,8 +344,10 @@ class Trainer:
         """Metric evaluation for the heatmap family: flip-test + DARK +
         back-projection + PCK/MPJPE/OKS-AP over the valid set (the
         reference only ever wires loss, SURVEY.md §5.5 — this runs the
-        real metric library, including COCO keypoint mAP)."""
-        if self.family != "heatmap":
+        real metric library, including COCO keypoint mAP). The simcc
+        family runs the same pipeline through its fused 1D-bin evaluator
+        (family='simcc' in _get_evaluator)."""
+        if self.family not in ("heatmap", "simcc"):
             return {"val_loss": self.validate()}
         ev = self._get_evaluator()
         out = ev.run(self._eval_batches(), self._build_eval_metrics())
@@ -362,7 +364,8 @@ class Trainer:
                 printM(f"epoch {epoch}: val_loss={val_loss:.5f}")
                 self.file_log.log(f"epoch {epoch}: val_loss={val_loss:.5f}")
                 self.tb.add_scalar("val/loss", val_loss, int(self.state.step))
-                if self.family == "heatmap" and self.cfg.eval.run_metrics:
+                if (self.family in ("heatmap", "simcc")
+                        and self.cfg.eval.run_metrics):
                     metrics = self.evaluate()
                     self.file_log.log(
                         f"epoch {epoch}: "

@@ -220,11 +220,23 @@ def decode_simcc(x_logits, y_logits, refine: bool = True):
     return jnp.stack([x, y], -1), jnp.sqrt(sx * sy)
 
 
-def simcc_flip_back(x_logits_f, y_logits_f, flip_pairs):
+def simcc_flip_back(x_logits_f, y_logits_f, flip_pairs, shift_bins: int = 0):
     """Un-flip SimCC logits from a horizontally-flipped forward: reverse
-    the x-bin axis and swap left/right keypoint channels (y unchanged in
-    space, channels swapped)."""
+    the x-bin axis, shift, and swap left/right keypoint channels (y
+    unchanged in space, channels swapped).
+
+    `shift_bins` removes the systematic flip bias: with the crop->bin
+    convention u = r*p (r = split_ratio; follows from get_affine_matrix's
+    center/scale form with the SAME center/scale for crop and bin grid),
+    a pixel-mirrored crop (p -> W-1-p) puts mass at u_f = rW - r - r*p,
+    and plain axis reversal lands at Wb-1-u_f = r*p + (r-1) — biased by
+    (r-1) bins. Shifting LEFT by r-1 bins cancels it EXACTLY for integer
+    r (unlike the heatmap grid's classic 1-px shift, which leaves a
+    +-1/4 px residual). Callers pass shift_bins = round(r) - 1."""
     xl = x_logits_f[..., ::-1]
+    if shift_bins > 0:
+        pad = jnp.repeat(xl[..., -1:], shift_bins, axis=-1)
+        xl = jnp.concatenate([xl[..., shift_bins:], pad], axis=-1)
     perm = jnp.arange(xl.shape[1])
     if len(flip_pairs) > 0:
         fp = jnp.asarray(flip_pairs)
