@@ -31,18 +31,7 @@ import numpy as np
 REFERENCE_IPS = 3321.0   # derived torch-forward figure; see module docstring
 
 
-def _enable_compile_cache():
-    """Persistent XLA compile cache: the five configs compile several big
-    programs (minutes through a remote-compile tunnel); repeat runs hit
-    the cache and go straight to measurement."""
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass  # older jax: cache flags absent — benign
+from tpupose.utils.cache import enable_compile_cache as _enable_compile_cache
 
 
 def _steady_s(call, probe, n1: int = 4, n2: int = 16):

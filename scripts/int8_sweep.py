@@ -15,12 +15,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from tpupose.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from tpupose.models.simple_baseline import SimpleBaseline
     from tpupose.ops.decode import decode_heatmaps

@@ -199,3 +199,21 @@ def test_oksap_area_ranges_and_recall():
     out = m.compute()
     for k in ("mAP", "AP_M", "AP_L", "AR", "AR_M", "AR_L", "AR50", "AR75"):
         assert out[k] > 0.99, (k, out[k])
+
+
+def test_oksap_empty_area_range_reports_minus_one():
+    """pycocotools semantics: a range with NO ground truths is 'not
+    evaluated' (-1), not 0 — 0 would read as 'evaluated and failed'."""
+    from tpupose.metrics.oks_ap import OKSAP
+
+    rng = np.random.RandomState(2)
+    m = OKSAP(num_classes=1)
+    for _ in range(2):
+        gt = rng.uniform(30, 200, (2, 17, 2)).astype(np.float32)
+        area = np.full(2, 150.0 ** 2, np.float32)   # all LARGE
+        m.update(gt, np.array([0.9, 0.8], np.float32), gt,
+                 np.ones((2, 17), np.float32), area, pred_area=area)
+    out = m.compute()
+    assert out["AP_L"] > 0.99 and out["AR_L"] > 0.99
+    assert out["AP_M"] == -1.0 and out["AR_M"] == -1.0
+    assert out["mAP"] > 0.99   # the 'all' range is unaffected

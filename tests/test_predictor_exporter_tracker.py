@@ -137,6 +137,31 @@ def test_export_cli_writes_npz_and_stablehlo(tmp_path):
     assert np.all(np.isfinite(np.asarray(coords)))
 
 
+def test_export_cli_simcc_family(tmp_path):
+    """The simcc family exports its fused 1D-bin inference program (the
+    loss-name routing used to send it down the heatmap branch, which
+    transposes the (x, y) logit tuple and crashed at trace)."""
+    from tpupose.cli.export import main
+    from tpupose.engine.exporter import load_stablehlo
+
+    out = str(tmp_path / "simcc")
+    main(["--cfg", "tpupose/configs/method/simcc_r50.yaml",
+          "model.backbone=resnet18", "model.num_keypoints=4",
+          "data.image_size=[64,64]", "model.split_ratio=1.0",
+          "model.heatmap_size=[64,64]",
+          "train.mixed_precision=false", "eval.flip_test=true",
+          f"out={out}", "format=stablehlo", "batch=2"])
+
+    call = load_stablehlo(out + ".stablehlo")
+    imgs = np.random.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    centers = np.tile([[32.0, 32.0]], (2, 1)).astype(np.float32)
+    scales = np.tile([[64.0, 64.0]], (2, 1)).astype(np.float32)
+    coords, scores = call(imgs, centers, scales)
+    assert np.asarray(coords).shape == (2, 4, 2)
+    assert np.asarray(scores).shape == (2, 4)
+    assert np.all(np.isfinite(np.asarray(coords)))
+
+
 def test_export_cli_int8_program(tmp_path):
     """eval.int8=true exports the QUANTIZED serving program: calibration
     scales are baked in, and the deserialized StableHLO matches the live

@@ -12,19 +12,20 @@ import pytest
 def test_gaussian_1d_targets():
     from tpupose.losses.simcc import gaussian_1d_targets
 
-    joints = np.array([[[10.0, 20.0], [47.0, 63.0], [-5.0, 3.0]]],
-                      np.float32)                      # (1, 3, 2) bin coords
-    vis = np.array([[1.0, 1.0, 1.0]], np.float32)
+    joints = np.array([[[10.0, 20.0], [47.0, 63.0], [-12.0, 3.0],
+                        [-2.0, 3.0]]], np.float32)     # (1, 4, 2) bin coords
+    vis = np.array([[1.0, 1.0, 1.0, 1.0]], np.float32)
     tx, ty, w = jax.device_get(gaussian_1d_targets(
         jnp.asarray(joints), jnp.asarray(vis), (64, 48), sigma=2.0))
-    assert tx.shape == (1, 3, 48) and ty.shape == (1, 3, 64)
+    assert tx.shape == (1, 4, 48) and ty.shape == (1, 4, 64)
     # distributions sum to 1 and peak at the joint bin
     np.testing.assert_allclose(tx.sum(-1), 1.0, atol=1e-5)
     np.testing.assert_allclose(ty.sum(-1), 1.0, atol=1e-5)
     assert tx[0, 0].argmax() == 10 and ty[0, 0].argmax() == 20
     assert tx[0, 1].argmax() == 47 and ty[0, 1].argmax() == 63
-    # out-of-range joint -> weight 0; in-range -> visibility
-    np.testing.assert_array_equal(w, [[1.0, 1.0, 0.0]])
+    # >3-sigma outside -> weight 0; border joints (within 3*sigma, mass
+    # still on the grid — the heatmap family's rule) keep training signal
+    np.testing.assert_array_equal(w, [[1.0, 1.0, 0.0, 1.0]])
 
 
 def test_simcc_kl_loss_minimized_at_target():

@@ -7,9 +7,9 @@ this is the runnable surface over tpupose/engine/exporter.py:
 - ``format=npz``: portable flat weights (framework-agnostic).
 - ``format=stablehlo``: the family's FULL fused inference program
   (normalize -> forward -> flip-test -> decode -> back-project for the
-  heatmap family; decode + on-device NMS for the yolo family) serialized
-  via jax.export — loadable and runnable without the model code, the TPU
-  analog of ONNX/torchscript export.
+  heatmap and simcc families; decode + on-device NMS for the yolo family)
+  serialized via jax.export — loadable and runnable without the model
+  code, the TPU analog of ONNX/torchscript export.
 
 Usage:
     python -m tpupose.cli.export --cfg cfg.yaml --ckpt out/ckpt \
@@ -76,6 +76,7 @@ def export_model(cfg, out: str, fmt: str = "both", batch: int = 8,
         written.append(export_npz(state, out + ".npz"))
     if fmt in ("stablehlo", "both"):
         family = ("yolo" if cfg.loss.name in ("pose_compute", "v8_pose")
+                  else "simcc" if cfg.loss.name == "simcc_kl"
                   else "heatmap")
         imgs = np.zeros((batch, H, W, 3), np.uint8)
         if family == "yolo":
@@ -98,10 +99,12 @@ def export_model(cfg, out: str, fmt: str = "both", batch: int = 8,
             ev = TopDownEvaluator(state, tuple(cfg.model.heatmap_size),
                                   decode=cfg.eval.decode,
                                   flip_test=cfg.eval.flip_test,
-                                  quant_scales=qscales)
+                                  quant_scales=qscales, family=family)
             centers = np.tile([[W / 2, H / 2]], (batch, 1)).astype(np.float32)
             scales = np.tile([[W, H]], (batch, 1)).astype(np.float32)
-            fn = lambda images, c, s: ev._eval_step(state, images, c, s)
+            step = (ev._simcc_eval_step if family == "simcc"
+                    else ev._eval_step)
+            fn = lambda images, c, s: step(state, images, c, s)
             example = (imgs, centers, scales)
         written.append(export_stablehlo(fn, example, out + ".stablehlo"))
     printS("exported: " + ", ".join(written))

@@ -48,6 +48,9 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
     from tpupose.engine.train_state import create_train_state
 
     os.makedirs(output_dir, exist_ok=True)
+    frames = natural_sort(
+        p for e in ("*.jpg", "*.jpeg", "*.png")
+        for p in glob.glob(os.path.join(frames_dir, e)))
     builder = Builder(cfg)
     model = builder.model()
     H, W = cfg.data.image_size
@@ -63,11 +66,8 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
     # frame of the run (detector) / the first chunk's crops (stage 2)
     det_scales = None
     if cfg.eval.int8:
-        probe = natural_sort(
-            p for e in ("*.jpg", "*.jpeg", "*.png")
-            for p in glob.glob(os.path.join(frames_dir, e)))
-        if probe:
-            first = np.asarray(Image.open(probe[0]).convert("RGB")
+        if frames:
+            first = np.asarray(Image.open(frames[0]).convert("RGB")
                                .resize((W, H)), np.uint8)[None]
             det_scales = YoloPosePredictor.calibrate_int8(state, first)
             printT(f"int8 serving: detector calibrated "
@@ -110,11 +110,8 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
         if cfg.eval.int8:
             from tpupose.engine.predictor import HeatmapPredictor
 
-            probe = natural_sort(
-                p for e in ("*.jpg", "*.jpeg", "*.png")
-                for p in glob.glob(os.path.join(frames_dir, e)))
-            if probe:
-                crop = np.asarray(Image.open(probe[0]).convert("RGB")
+            if frames:
+                crop = np.asarray(Image.open(frames[0]).convert("RGB")
                                   .resize((pW, pH)), np.uint8)[None]
                 pose_scales = HeatmapPredictor.calibrate_int8(pstate, crop)
                 printT(f"int8 serving: stage-2 pose calibrated "
@@ -125,10 +122,6 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
             max_persons=min(cfg.eval.max_detections, 16),
             quant_scales=pose_scales)
         n_kpts = pcfg.model.num_keypoints
-
-    frames = natural_sort(
-        p for e in ("*.jpg", "*.jpeg", "*.png")
-        for p in glob.glob(os.path.join(frames_dir, e)))
 
     # Detection is batched on device (VB frames per program — padding the
     # tail keeps one compiled shape); tracking stays causal per frame on

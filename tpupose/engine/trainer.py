@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpupose.configs.default import Config
-from tpupose.data.loader import prefetch_to_device
 from tpupose.engine.builder import Builder
 from tpupose.engine.checkpoint import CheckpointManager
 from tpupose.engine.train_state import (
@@ -289,8 +288,14 @@ class Trainer:
         return out
 
     def _get_evaluator(self):
-        """Build the jitted evaluator once; refresh its state per call."""
-        if getattr(self, "_evaluator", None) is None:
+        """Build the jitted evaluator once; refresh its state per call.
+
+        With eval.int8 the evaluator is REBUILT (recompiled) every call:
+        activation amax scales are jit-time constants calibrated against
+        the current weights, so reusing the epoch-1 program would clip
+        later epochs' activations to stale ranges (and mutating
+        .quant_scales would not retrace anyway)."""
+        if getattr(self, "_evaluator", None) is None or self.cfg.eval.int8:
             from tpupose.engine.evaluator import TopDownEvaluator
 
             # flip pairs come from the dataset (COCO/MPII define theirs);
@@ -299,7 +304,7 @@ class Trainer:
             if pairs is None and self.cfg.model.num_keypoints != 17:
                 pairs = np.zeros((0, 2), np.int64)
             # eval.int8: quantized eval serving, calibrated on the first
-            # validation batch (ops/quant.py)
+            # validation batch against the CURRENT weights (ops/quant.py)
             quant_scales = None
             if self.cfg.eval.int8:
                 from tpupose.engine.predictor import HeatmapPredictor

@@ -19,7 +19,11 @@ def gaussian_1d_targets(joints, visibility, bins_hw, sigma: float = 6.0):
     joints (B, K, 2) in BIN coordinates (x, y); visibility (B, K);
     bins_hw = (Hb, Wb). Returns (tx (B, K, Wb), ty (B, K, Hb),
     weight (B, K)) — each target row normalized to sum 1; weight zeroes
-    invisible joints and joints whose center lies outside the bin range.
+    invisible joints and joints whose center lies more than 3*sigma
+    outside the bin range (the 2D-heatmap family's tolerance: a border
+    joint still has most of its Gaussian mass on the grid and must keep
+    contributing training signal — requiring x <= Wb-1 would silently
+    drop joints pinned to the crop edge in this family only).
     """
     Hb, Wb = bins_hw
     x = joints[..., 0]
@@ -32,7 +36,8 @@ def gaussian_1d_targets(joints, visibility, bins_hw, sigma: float = 6.0):
 
     tx = dist(x, Wb)
     ty = dist(y, Hb)
-    inside = ((x >= 0) & (x <= Wb - 1) & (y >= 0) & (y <= Hb - 1))
+    m = 3.0 * sigma
+    inside = ((x > -m) & (x < Wb - 1 + m) & (y > -m) & (y < Hb - 1 + m))
     w = (visibility > 0).astype(jnp.float32) * inside.astype(jnp.float32)
     return tx, ty, w
 

@@ -124,7 +124,9 @@ class OKSAP:
         outside the range are COCO "ignore" regions — a detection whose
         best remaining match is an ignored GT at or above the threshold is
         removed from the ranking (neither TP nor FP).
-        Returns (aps, recalls), each (len(thresholds),).
+        Returns (aps, recalls), each (len(thresholds),); all-NaN when the
+        class has NO GT in the range (pycocotools excludes such ranges
+        and reports -1, not 0 — compute() nanmeans and maps to -1).
         """
         lo, hi = area_rng
         entries = self._preds[c]
@@ -132,7 +134,7 @@ class OKSAP:
         n_gt = sum(int(((a >= lo) & (a < hi)).sum())
                    for _, _, a, _ in entries)
         if not entries or n_gt == 0:
-            return np.zeros(nthr), np.zeros(nthr)
+            return np.full(nthr, np.nan), np.full(nthr, np.nan)
         aps = np.zeros(nthr)
         recalls = np.zeros(nthr)
         # flatten detections keeping per-image gt association
@@ -193,23 +195,41 @@ class OKSAP:
         i50 = int(np.argmin(np.abs(self.thresholds - 0.5)))
         i75 = int(np.argmin(np.abs(self.thresholds - 0.75)))
 
+        def nanmean(a, axis=None):
+            """np.nanmean without the all-NaN RuntimeWarning: NaN (not a
+            warning) when every element along `axis` is NaN."""
+            m = np.isfinite(a)
+            s = np.where(m, a, 0.0).sum(axis)
+            c = m.sum(axis)
+            return np.where(c > 0, s / np.maximum(c, 1), np.nan)
+
         def mean_over(label, which):
+            """Mean over valid classes, NaN-excluding classes with no GT
+            in the range (pycocotools semantics)."""
             vals = np.stack([pr[label][c][which]
                              for c in range(self.num_classes)])[valid]
-            return vals.mean(axis=0)
+            return nanmean(vals, axis=0)
+
+        def scalar(x):
+            """-1.0 when NO class had a GT in the range (COCO's 'not
+            evaluated' marker), else the float value."""
+            v = float(x)
+            return -1.0 if np.isnan(v) else v
 
         ap_all = mean_over("all", 0)
         ar_all = mean_over("all", 1)
         return {
-            "mAP": float(ap_all.mean()),
-            "mAP50": float(ap_all[i50]),
-            "mAP75": float(ap_all[i75]),
-            "AP_M": float(mean_over("M", 0).mean()),
-            "AP_L": float(mean_over("L", 0).mean()),
-            "AR": float(ar_all.mean()),
-            "AR50": float(ar_all[i50]),
-            "AR75": float(ar_all[i75]),
-            "AR_M": float(mean_over("M", 1).mean()),
-            "AR_L": float(mean_over("L", 1).mean()),
-            "per_class": per_class.mean(axis=1),
+            "mAP": scalar(nanmean(ap_all)),
+            "mAP50": scalar(ap_all[i50]),
+            "mAP75": scalar(ap_all[i75]),
+            "AP_M": scalar(nanmean(mean_over("M", 0))),
+            "AP_L": scalar(nanmean(mean_over("L", 0))),
+            "AR": scalar(nanmean(ar_all)),
+            "AR50": scalar(ar_all[i50]),
+            "AR75": scalar(ar_all[i75]),
+            "AR_M": scalar(nanmean(mean_over("M", 1))),
+            "AR_L": scalar(nanmean(mean_over("L", 1))),
+            # classes with no GT anywhere report -1 (excluded from mAP)
+            "per_class": np.where(np.isnan(per_class).all(axis=1), -1.0,
+                                  np.nan_to_num(per_class).mean(axis=1)),
         }
