@@ -118,3 +118,39 @@ def test_reference_aliases():
     from tpupose.metrics import OKSAP
 
     assert PMet is OKSAP and CMet is ClassifyMet
+
+
+def test_auc_metric():
+    """AUC of the PCK curve: hand-computed trapezoid for a constant
+    normalized distance, and 1.0 for a perfect predictor."""
+    from tpupose.metrics import AUC
+
+    gt = np.array([[[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]], np.float32)
+    vis = np.ones((1, 3), np.float32)
+    m = AUC(max_threshold=0.5, num_steps=20)
+    m.update(gt, gt, vis)                      # perfect
+    out = m.compute()
+    assert out["auc"] == 1.0 and out["epe_norm"] == 0.0
+
+    # every joint 0.11 * L away (L = bbox max side = 10; 0.11 sits
+    # strictly between the 0.1 and 0.125 thresholds): pck = 0 through
+    # t=0.1, 1 from t=0.125 -> trapezoid (0.5*0.025 + 0.375) / 0.5 = 0.775
+    m.reset()
+    pred = gt + np.array([1.1, 0.0], np.float32)
+    m.update(pred, gt, vis)
+    out = m.compute()
+    np.testing.assert_allclose(out["auc"], 0.775, atol=1e-6)
+    np.testing.assert_allclose(out["epe_norm"], 0.11, atol=1e-6)
+
+
+def test_epe_metric():
+    from tpupose.metrics import EPE
+
+    gt = np.zeros((2, 2, 2), np.float32)
+    pred = gt.copy()
+    pred[0, 0] = [3.0, 4.0]                    # distance 5
+    vis = np.ones((2, 2), np.float32)
+    vis[1, 1] = 0.0                            # excluded joint
+    m = EPE()
+    m.update(pred, gt, vis)
+    np.testing.assert_allclose(m.compute()["epe"], 5.0 / 3.0, atol=1e-6)

@@ -84,6 +84,9 @@ class TrainConfig:
     experiment: str = "default"
     profile_dir: str = ""               # non-empty: jax.profiler trace of one step
     tensorboard: bool = True            # tfevents scalars under <exp>/tb
+    # > 0: track an EMA of the params (fused into the train step) and use
+    # it for validation/metric eval/serving. 0 disables. Typical: 0.9998.
+    ema_decay: float = 0.0
 
 
 @dataclass

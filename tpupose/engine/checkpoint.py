@@ -56,12 +56,17 @@ class CheckpointManager:
 
     @staticmethod
     def _state_tree(state) -> dict:
-        return {
+        tree = {
             "step": state.step,
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
         }
+        # EMA weights ride along only when tracked, so checkpoints from
+        # non-EMA runs keep their layout (and stay restorable)
+        if getattr(state, "ema_params", None) is not None:
+            tree["ema_params"] = state.ema_params
+        return tree
 
     def save(self, step: int, state, metric: Optional[float] = None,
              force: bool = False, epoch: Optional[int] = None):
@@ -119,13 +124,24 @@ class CheckpointManager:
             printW(f"no checkpoint found under {self.directory}; "
                    "continuing with current (possibly random) parameters")
             return state, 0
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+        try:
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+        except Exception:
+            if "ema_params" not in target:
+                raise
+            # EMA-tracking state restoring a pre-EMA checkpoint: restore
+            # without the subtree and seed the EMA from the weights
+            target = {k: v for k, v in target.items() if k != "ema_params"}
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
         new_state = state.replace(
             step=restored["step"],
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
         )
+        if getattr(state, "ema_params", None) is not None:
+            new_state = new_state.replace(
+                ema_params=restored.get("ema_params", restored["params"]))
         printS(f"restored {'best ' if best else ''}checkpoint @ step {step}")
         return new_state, int(step)
 

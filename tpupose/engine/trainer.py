@@ -54,7 +54,9 @@ class Trainer:
         self.rng, init_rng = jax.random.split(self.rng)
         params_probe = self.model.init(init_rng, sample, train=False)["params"]
         tx = self.builder.optimizer(params_probe, steps_per_epoch)
-        self.state = create_train_state(self.model, init_rng, sample, tx)
+        self.state = create_train_state(
+            self.model, init_rng, sample, tx,
+            ema_decay=getattr(cfg.train, "ema_decay", 0.0))
         if cfg.model.pretrained:
             from tpupose.models.pretrained import load_pretrained
 
@@ -62,8 +64,11 @@ class Trainer:
                 dict(self.state.params), cfg.model.pretrained,
                 cfg.model.backbone,
                 batch_stats=dict(self.state.batch_stats))
+            ema = (jax.tree_util.tree_map(jnp.array, params)
+                   if self.state.ema_params is not None else None)
             self.state = self.state.replace(params=params,
-                                            batch_stats=batch_stats)
+                                            batch_stats=batch_stats,
+                                            ema_params=ema)
         # place state on the mesh: DP replicates; mesh.model>1 shards wide
         # kernels (and their optimizer moments) over the 'model' axis
         self.state = self.mesh_mgr.shard_state(self.state)
@@ -227,8 +232,12 @@ class Trainer:
         padded duplicate rows are excluded from the loss by zeroing their
         per-sample weights (target_weight / visibility / instance_mask —
         the loss fns normalize by the weight sum, so the masked mean is
-        exact) and batches are combined weighted by real-sample count."""
+        exact) and batches are combined weighted by real-sample count.
+
+        With train.ema_decay, validation runs on the EMA weights (the
+        weights serving would use)."""
         total, n = 0.0, 0
+        eval_state = self.state.for_eval()
         for batch in self.valid_loader:
             pm = batch.get("pad_mask")
             db = self._prepare_batch(batch, for_eval=True)
@@ -243,13 +252,13 @@ class Trainer:
                 else:
                     db["target_weight"] = db["target_weight"] * m[:, None]
             if self.family == "yolo":
-                loss = self.val_step(self.state, db)
+                loss = self.val_step(eval_state, db)
             elif self.family == "regression":
-                preds = self.eval_step(self.state, db["images"])
+                preds = self.eval_step(eval_state, db["images"])
                 loss = self.loss_fn(preds, db["target_coords"],
                                     db["visibility"])
             else:
-                preds = self.eval_step(self.state, db["images"])
+                preds = self.eval_step(eval_state, db["images"])
                 loss = self.loss_fn(preds, db["target"], db["target_weight"])
             total += float(loss) * n_real
             n += n_real
@@ -283,6 +292,14 @@ class Trainer:
                 from tpupose.metrics.oks_ap import OKSAP
 
                 out.append(OKSAP(num_classes=1))
+            elif name == "auc":
+                from tpupose.metrics.auc import AUC
+
+                out.append(AUC())
+            elif name == "epe":
+                from tpupose.metrics.auc import EPE
+
+                out.append(EPE())
             else:
                 raise ValueError(f"unknown eval metric {name!r}")
         return out
@@ -311,9 +328,9 @@ class Trainer:
 
                 first = next(iter(self.valid_loader))
                 quant_scales = HeatmapPredictor.calibrate_int8(
-                    self.state, np.asarray(first["images"]))
+                    self.state.for_eval(), np.asarray(first["images"]))
             self._evaluator = TopDownEvaluator(
-                self.state, tuple(self.cfg.model.heatmap_size),
+                self.state.for_eval(), tuple(self.cfg.model.heatmap_size),
                 decode=self.cfg.eval.decode,
                 flip_test=self.cfg.eval.flip_test,
                 flip_pairs=pairs,
@@ -322,7 +339,7 @@ class Trainer:
                 shard_fn=self.mesh_mgr.shard_batch,
                 quant_scales=quant_scales,
                 family=("simcc" if self.family == "simcc" else "heatmap"))
-        self._evaluator.state = self.state
+        self._evaluator.state = self.state.for_eval()
         return self._evaluator
 
     def _eval_batches(self):

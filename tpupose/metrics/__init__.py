@@ -16,6 +16,7 @@ from tpupose.metrics.pckh import PCKh
 from tpupose.metrics.pdj import PDJ
 from tpupose.metrics.pcp import PCP, PCPm
 from tpupose.metrics.mpjpe import MPJPE
+from tpupose.metrics.auc import AUC, EPE
 from tpupose.metrics.det_map import DetectionMAP, box_iou_np
 from tpupose.metrics.cls import ClassifyMet
 
@@ -37,12 +38,12 @@ def mask_iou(a, b):
 
 METRICS = {
     "oks_ap": OKSAP, "pck": PCK, "pckh": PCKh, "pdj": PDJ,
-    "pcp": PCP, "pcpm": PCPm, "mpjpe": MPJPE,
+    "pcp": PCP, "pcpm": PCPm, "mpjpe": MPJPE, "auc": AUC, "epe": EPE,
     "det_map": DetectionMAP, "classify": ClassifyMet,
 }
 
 __all__ = [
     "OKS_SIGMAS", "compute_oks", "OKSAP", "PCK", "PCKh", "PDJ", "PCP", "PCPm",
-    "MPJPE", "DetectionMAP", "ClassifyMet", "PMet", "DMet", "CMet",
-    "mask_iou", "box_iou_np", "METRICS",
+    "MPJPE", "AUC", "EPE", "DetectionMAP", "ClassifyMet", "PMet", "DMet",
+    "CMet", "mask_iou", "box_iou_np", "METRICS",
 ]

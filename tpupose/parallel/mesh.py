@@ -178,6 +178,9 @@ class MeshManager:
             params=self.shard_params(state.params),
             batch_stats=self.replicate(state.batch_stats),
             opt_state=self.shard_params(state.opt_state),
+            ema_params=(self.shard_params(state.ema_params)
+                        if getattr(state, "ema_params", None) is not None
+                        else state.ema_params),
         )
 
     def local_batch_size(self, global_batch: int) -> int:
