@@ -37,3 +37,37 @@ def test_layout_agnostic():
     tk = jnp.transpose(jnp.asarray(t), (0, 3, 1, 2))
     b = float(joints_mse_loss(pk, tk, jnp.asarray(w)))
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_joints_mse_weighted():
+    """Heatmap-weighting loss (arXiv:2205.10611): zero at the optimum,
+    and the same pixel error costs (1 + w*t) times more at the Gaussian
+    peak than on background."""
+    import jax.numpy as jnp
+
+    from tpupose.losses.heatmap import (joints_mse_loss,
+                                        joints_mse_weighted_loss)
+
+    B, H, W, K = 1, 8, 8, 1
+    target = np.zeros((B, H, W, K), np.float32)
+    target[0, 4, 4, 0] = 1.0
+    tw = np.ones((B, K), np.float32)
+
+    assert float(joints_mse_weighted_loss(
+        jnp.asarray(target), jnp.asarray(target), jnp.asarray(tw))) == 0.0
+
+    peak_err = target.copy(); peak_err[0, 4, 4, 0] = 0.5      # err at peak
+    bg_err = target.copy(); bg_err[0, 0, 0, 0] = 0.5          # same err on bg
+    lp = float(joints_mse_weighted_loss(jnp.asarray(peak_err),
+                                        jnp.asarray(target), jnp.asarray(tw),
+                                        peak_weight=9.0))
+    lb = float(joints_mse_weighted_loss(jnp.asarray(bg_err),
+                                        jnp.asarray(target), jnp.asarray(tw),
+                                        peak_weight=9.0))
+    np.testing.assert_allclose(lp / lb, 10.0, rtol=1e-5)      # 1 + 9*1
+    # plain MSE treats them identically
+    l0p = float(joints_mse_loss(jnp.asarray(peak_err), jnp.asarray(target),
+                                jnp.asarray(tw)))
+    l0b = float(joints_mse_loss(jnp.asarray(bg_err), jnp.asarray(target),
+                                jnp.asarray(tw)))
+    np.testing.assert_allclose(l0p, l0b, rtol=1e-6)

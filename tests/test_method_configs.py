@@ -16,8 +16,8 @@ YAMLS = sorted(glob.glob(os.path.join(METHOD_DIR, "*.yaml")))
 
 KNOWN_MODELS = {"simple_baseline", "hrnet", "dinov3_pose", "deeppose",
                 "fcmae", "fskd", "simcc"}
-KNOWN_LOSSES = {"joints_mse", "pose_compute", "coord_mse", "v8_pose",
-                "fcmae", "fskd_episode", "simcc_kl"}
+KNOWN_LOSSES = {"joints_mse", "joints_mse_weighted", "pose_compute",
+                "coord_mse", "v8_pose", "fcmae", "fskd_episode", "simcc_kl"}
 KNOWN_DATASETS = {"synthetic", "synthetic_yolo", "yolo_pose", "coco",
                   "mpii", "fewshot"}
 

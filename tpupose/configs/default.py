@@ -54,6 +54,10 @@ class DataConfig:
     scale_factor: float = 0.25
     rotation_factor: float = 30.0
     flip_prob: float = 0.5
+    # half-body transform (HRNet crop aug; 0 = off, standard COCO: 0.3):
+    # re-center the crop on visible upper- or lower-body joints only
+    half_body_prob: float = 0.0
+    half_body_min_joints: int = 8
     color_jitter: float = 0.2
     # True: rotation/scale augmentation runs INSIDE the jitted train step
     # (ops/affine.random_affine_augment); the host ships the canonical

@@ -31,11 +31,21 @@ class CocoTopDownDataset:
                  flip_prob: float = 0.5, min_keypoints: int = 1,
                  padding: float = 1.25, seed: int = 0,
                  decode_threads: int = 4, flip_pairs=None,
-                 augment_geometry: bool = True):
+                 augment_geometry: bool = True,
+                 half_body_prob: float = 0.0,
+                 half_body_min_joints: int = 8):
         # augment_geometry=False: host applies only the flip — rotation/
         # scale jitter runs on device inside the train step
         # (cfg.data.device_affine, ops/affine.random_affine_augment).
         self.augment_geometry = augment_geometry
+        # half-body transform (the standard HRNet/MSRA crop aug the
+        # reference lacks entirely): with prob p, re-center the crop on
+        # the visible upper- OR lower-body joints only. Only when more
+        # than half_body_min_joints joints are visible.
+        self.half_body_prob = float(half_body_prob)
+        self.half_body_min_joints = int(half_body_min_joints)
+        # COCO-17 split: 0-10 = face + arms, 11-16 = hips/knees/ankles
+        self.upper_body_ids = tuple(range(11))
         self.image_dir = image_dir
         if flip_pairs is None:
             from tpupose.engine.evaluator import COCO_FLIP_PAIRS
@@ -96,6 +106,8 @@ class CocoTopDownDataset:
             scale_factor=d.scale_factor, rotation_factor=d.rotation_factor,
             flip_prob=d.flip_prob, seed=cfg.train.seed,
             augment_geometry=not getattr(d, "device_affine", False),
+            half_body_prob=getattr(d, "half_body_prob", 0.0),
+            half_body_min_joints=getattr(d, "half_body_min_joints", 8),
         )
 
     def __len__(self):
@@ -126,6 +138,39 @@ class CocoTopDownDataset:
         person bbox, subclasses may store them directly (MPII)."""
         return self._box_to_center_scale(s["bbox"])
 
+    def _half_body_center_scale(self, joints_src, vis, rng):
+        """Crop params covering only the visible upper- OR lower-body
+        joints (HRNet half-body transform). Returns None when the chosen
+        half has fewer than 2 visible joints (and the other half too)."""
+        visible = vis > 0
+        upper = [i for i in self.upper_body_ids
+                 if i < len(vis) and visible[i]]
+        lower = [i for i in range(len(vis))
+                 if i not in self.upper_body_ids and visible[i]]
+        pick = upper if rng.random() < 0.5 else lower
+        other = lower if pick is upper else upper
+        if len(pick) < 2:
+            pick = other
+        if len(pick) < 2:
+            return None
+        pts = joints_src[pick]
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        w, h = float(hi[0] - lo[0]), float(hi[1] - lo[1])
+        if w < 1 or h < 1:
+            return None
+        cx, cy = float((lo[0] + hi[0]) / 2), float((lo[1] + hi[1]) / 2)
+        H, W = self.image_size
+        aspect = W / H
+        if w > aspect * h:
+            h = w / aspect
+        else:
+            w = h * aspect
+        # 1.5x the usual padding: the half-body box is tight on joints,
+        # not on the body contour
+        return (np.array([cx, cy], np.float32),
+                np.array([w, h], np.float32) * self.padding * 1.5)
+
     def _sample_params(self, idx: int):
         """Draw augmentation params + labels for one instance (numpy-only:
         the host path must never dispatch device ops)."""
@@ -145,6 +190,12 @@ class CocoTopDownDataset:
             r_rotp = rng.random()
             r_rot = rng.standard_normal()
             r_flip = rng.random()
+            if (self.augment_geometry and self.half_body_prob > 0
+                    and int((vis > 0).sum()) > self.half_body_min_joints
+                    and rng.random() < self.half_body_prob):
+                hb = self._half_body_center_scale(joints_src, vis, rng)
+                if hb is not None:
+                    center, scale = hb
             if self.augment_geometry:
                 scale = scale * np.clip(
                     1.0 + r_scale * self.scale_factor,

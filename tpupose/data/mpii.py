@@ -45,7 +45,9 @@ class MpiiTopDownDataset(CocoTopDownDataset):
                  heatmap_size=(64, 64), is_train: bool = True,
                  scale_factor: float = 0.25, rotation_factor: float = 30.0,
                  flip_prob: float = 0.5, padding: float = 1.0, seed: int = 0,
-                 decode_threads: int = 4, augment_geometry: bool = True):
+                 decode_threads: int = 4, augment_geometry: bool = True,
+                 half_body_prob: float = 0.0,
+                 half_body_min_joints: int = 8):
         # deliberately NOT calling super().__init__ (different parse); set
         # the fields the shared machinery reads.
         self.image_dir = image_dir
@@ -58,6 +60,11 @@ class MpiiTopDownDataset(CocoTopDownDataset):
         self.padding = padding
         self.decode_threads = decode_threads
         self.augment_geometry = augment_geometry
+        self.half_body_prob = float(half_body_prob)
+        self.half_body_min_joints = int(half_body_min_joints)
+        # MPII-16 split: thorax/neck/head + arms are the upper body;
+        # ankles/knees/hips/pelvis (0-6) are the lower body
+        self.upper_body_ids = (7, 8, 9, 10, 11, 12, 13, 14, 15)
         self.flip_pairs = MPII_FLIP_PAIRS
         self._seed = int(seed)
         self._visits = {}
@@ -105,6 +112,8 @@ class MpiiTopDownDataset(CocoTopDownDataset):
             scale_factor=d.scale_factor, rotation_factor=d.rotation_factor,
             flip_prob=d.flip_prob, seed=cfg.train.seed,
             augment_geometry=not getattr(d, "device_affine", False),
+            half_body_prob=getattr(d, "half_body_prob", 0.0),
+            half_body_min_joints=getattr(d, "half_body_min_joints", 8),
         )
 
     def _center_scale(self, s):

@@ -106,6 +106,10 @@ class Builder:
             from tpupose.losses.simcc import simcc_kl_loss
 
             return simcc_kl_loss
+        if name == "joints_mse_weighted":
+            from tpupose.losses.heatmap import joints_mse_weighted_loss
+
+            return joints_mse_weighted_loss
         if name == "v8_pose":
             from tpupose.losses.v8 import v8PoseLoss
 
