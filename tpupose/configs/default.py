@@ -63,6 +63,11 @@ class DataConfig:
     # (ops/affine.random_affine_augment); the host ships the canonical
     # crop and only applies the flip. False: classic host-side aug.
     device_affine: bool = False
+    # unbiased (unit-length) data processing, UDP CVPR 2020: all crop/label
+    # affines measure the grid in N-1 intervals; flip-test mirror becomes
+    # exact (no 1-px shift). One flag drives dataset + train-step aug +
+    # evaluator so the convention can never be mixed.
+    udp: bool = False
     sigma: float = 2.0                  # Gaussian target sigma
     simcc_sigma: float = 6.0            # 1D bin-target sigma (simcc family)
     # few-shot episodic options (reference: HPE/configs/default.py:21-53)

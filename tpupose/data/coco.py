@@ -33,11 +33,16 @@ class CocoTopDownDataset:
                  decode_threads: int = 4, flip_pairs=None,
                  augment_geometry: bool = True,
                  half_body_prob: float = 0.0,
-                 half_body_min_joints: int = 8):
+                 half_body_min_joints: int = 8,
+                 udp: bool = False):
         # augment_geometry=False: host applies only the flip — rotation/
         # scale jitter runs on device inside the train step
         # (cfg.data.device_affine, ops/affine.random_affine_augment).
         self.augment_geometry = augment_geometry
+        # unbiased (unit-length) data processing: every crop/label affine
+        # uses the (N-1)-interval grid (ops/affine udp=True). The evaluator
+        # must be built with the same flag (cfg.data.udp wires both).
+        self.udp = bool(udp)
         # half-body transform (the standard HRNet/MSRA crop aug the
         # reference lacks entirely): with prob p, re-center the crop on
         # the visible upper- OR lower-body joints only. Only when more
@@ -108,6 +113,7 @@ class CocoTopDownDataset:
             augment_geometry=not getattr(d, "device_affine", False),
             half_body_prob=getattr(d, "half_body_prob", 0.0),
             half_body_min_joints=getattr(d, "half_body_min_joints", 8),
+            udp=getattr(d, "udp", False),
         )
 
     def __len__(self):
@@ -219,7 +225,8 @@ class CocoTopDownDataset:
         from tpupose.ops.affine import get_affine_matrix_np
 
         Hh, Wh = self.heatmap_size
-        m_hm = get_affine_matrix_np(center, scale, rot, (Hh, Wh))
+        m_hm = get_affine_matrix_np(center, scale, rot, (Hh, Wh),
+                                    udp=self.udp)
         minv = _invert_2x3(m_hm)
         joints_hm = (minv[:, :2] @ joints_src.T + minv[:, 2:3]).T
         # joints leaving the crop become invisible
@@ -242,7 +249,8 @@ class CocoTopDownDataset:
         is one warp — no flipped full-image copy ever exists."""
         from tpupose.ops.affine import get_affine_matrix_np
 
-        m = get_affine_matrix_np(center, scale, rot, self.image_size)
+        m = get_affine_matrix_np(center, scale, rot, self.image_size,
+                                 udp=self.udp)
         if flipped:
             m = m.copy()
             m[0, :] = -m[0, :]
@@ -265,7 +273,8 @@ class CocoTopDownDataset:
             img = img[:, ::-1]
         from tpupose.ops.affine import get_affine_matrix_np
 
-        m = get_affine_matrix_np(center, scale, rot, self.image_size)
+        m = get_affine_matrix_np(center, scale, rot, self.image_size,
+                                 udp=self.udp)
         crop = Image.fromarray(img).transform(
             (W, H), Image.AFFINE, tuple(m.reshape(-1)),
             resample=Image.BILINEAR)
@@ -310,7 +319,8 @@ class CocoTopDownDataset:
             if fl:
                 img = img[:, ::-1]
             H, W = self.image_size
-            m = get_affine_matrix_np(c, sc, r, self.image_size)
+            m = get_affine_matrix_np(c, sc, r, self.image_size,
+                                     udp=self.udp)
             crop = Image.fromarray(img).transform(
                 (W, H), Image.AFFINE, tuple(m.reshape(-1)),
                 resample=Image.BILINEAR)

@@ -47,9 +47,11 @@ class MpiiTopDownDataset(CocoTopDownDataset):
                  flip_prob: float = 0.5, padding: float = 1.0, seed: int = 0,
                  decode_threads: int = 4, augment_geometry: bool = True,
                  half_body_prob: float = 0.0,
-                 half_body_min_joints: int = 8):
+                 half_body_min_joints: int = 8,
+                 udp: bool = False):
         # deliberately NOT calling super().__init__ (different parse); set
         # the fields the shared machinery reads.
+        self.udp = bool(udp)
         self.image_dir = image_dir
         self.image_size = tuple(image_size)
         self.heatmap_size = tuple(heatmap_size)
@@ -114,6 +116,7 @@ class MpiiTopDownDataset(CocoTopDownDataset):
             augment_geometry=not getattr(d, "device_affine", False),
             half_body_prob=getattr(d, "half_body_prob", 0.0),
             half_body_min_joints=getattr(d, "half_body_min_joints", 8),
+            udp=getattr(d, "udp", False),
         )
 
     def _center_scale(self, s):

@@ -50,7 +50,8 @@ class TopDownEvaluator:
     def __init__(self, state, heatmap_size, decode: str = "dark",
                  flip_test: bool = True, flip_pairs=None,
                  blur_kernel: int = 11, sigma: float = 2.0,
-                 shard_fn=None, quant_scales=None, family: str = "heatmap"):
+                 shard_fn=None, quant_scales=None, family: str = "heatmap",
+                 udp: bool = False):
         """shard_fn (optional): host batch pytree -> mesh-sharded arrays
         (e.g. MeshManager.shard_batch). With it, eval batches are sharded
         over the mesh 'data' axis so metric evaluation runs data-parallel
@@ -60,7 +61,12 @@ class TopDownEvaluator:
         quant_scales (optional): {conv_path: amax} from ops.quant.calibrate
         — compiles the forward with int8 convolutions (per-channel int8
         weights, calibrated per-tensor activations); decode/flip/merge stay
-        fp32/bf16."""
+        fp32/bf16.
+
+        udp: unbiased (unit-length) coordinate processing — the dataset
+        must have been built with the same flag (data.udp); back-projection
+        uses the (N-1)-interval grid and the flip-test mirror needs no
+        1-px shift (exact under this convention)."""
         self.state = state
         self.heatmap_size = tuple(heatmap_size)
         self.flip_pairs = (np.asarray(flip_pairs) if flip_pairs is not None
@@ -71,6 +77,7 @@ class TopDownEvaluator:
         self.sigma = sigma
         self.shard_fn = shard_fn
         self.quant_scales = dict(quant_scales) if quant_scales else None
+        self.udp = udp
         # family: "heatmap" (2D maps + DARK/offset decode) or "simcc"
         # (1D bin classification, models/simcc.py; heatmap_size = bin grid)
         self.family = family
@@ -102,12 +109,13 @@ class TopDownEvaluator:
             hm_f = self._apply(state, x[:, :, ::-1])
             hm_f = jnp.transpose(hm_f, (0, 3, 1, 2))
             pairs = self.flip_pairs if len(self.flip_pairs) else np.zeros((0, 2), np.int64)
-            hm = merge_flip(hm, hm_f, pairs)
+            hm = merge_flip(hm, hm_f, pairs, shift=not self.udp)
         coords, scores = decode_heatmaps(hm, self.decode, self.blur_kernel,
                                          self.sigma)
 
         def back(c, center, scale):
-            m = get_affine_matrix(center, scale, 0.0, self.heatmap_size)
+            m = get_affine_matrix(center, scale, 0.0, self.heatmap_size,
+                                  udp=self.udp)
             return affine_transform_points(c, m)
 
         src = jax.vmap(back)(coords, centers, scales)
@@ -130,10 +138,12 @@ class TopDownEvaluator:
             xlf, ylf = self._apply(state, x[:, :, ::-1])
             pairs = (self.flip_pairs if len(self.flip_pairs)
                      else np.zeros((0, 2), np.int64))
-            # split_ratio from the static shapes: Wb / crop W
+            # split_ratio from the static shapes: Wb / crop W. Under udp
+            # (u = p*(Wb-1)/(W-1)) the plain bin-axis reversal is the
+            # exact mirror, so no shift; classic convention needs r-1.
             r = xl.shape[-1] / images.shape[2]
-            xlb, ylb = simcc_flip_back(xlf, ylf, pairs,
-                                       shift_bins=int(round(r)) - 1)
+            shift = 0 if self.udp else int(round(r)) - 1
+            xlb, ylb = simcc_flip_back(xlf, ylf, pairs, shift_bins=shift)
             # average PROBABILITIES (softmax is inside decode; averaging
             # logits would geometric-mean the distributions instead)
             xl = jnp.log(0.5 * jax.nn.softmax(xl.astype(jnp.float32), -1)
@@ -145,7 +155,8 @@ class TopDownEvaluator:
         coords, scores = decode_simcc(xl, yl)
 
         def back(c, center, scale):
-            m = get_affine_matrix(center, scale, 0.0, self.heatmap_size)
+            m = get_affine_matrix(center, scale, 0.0, self.heatmap_size,
+                                  udp=self.udp)
             return affine_transform_points(c, m)
 
         src = jax.vmap(back)(coords, centers, scales)

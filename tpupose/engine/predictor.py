@@ -23,15 +23,17 @@ import numpy as np
 class HeatmapPredictor:
     def __init__(self, state, heatmap_size, decode: str = "dark",
                  flip_test: bool = False, flip_pairs=None,
-                 quant_scales=None):
+                 quant_scales=None, udp: bool = False):
         """quant_scales: {conv_path: amax} from `calibrate_int8` — serve
-        the forward with int8 MXU convolutions (see ops/quant.py)."""
+        the forward with int8 MXU convolutions (see ops/quant.py).
+        udp: unit-length coordinate convention (must match training's
+        cfg.data.udp)."""
         from tpupose.engine.evaluator import TopDownEvaluator
 
         self._ev = TopDownEvaluator(state, heatmap_size, decode=decode,
                                     flip_test=flip_test,
                                     flip_pairs=flip_pairs,
-                                    quant_scales=quant_scales)
+                                    quant_scales=quant_scales, udp=udp)
 
     @staticmethod
     def calibrate_int8(state, images):

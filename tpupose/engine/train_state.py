@@ -95,7 +95,8 @@ def make_heatmap_train_step(loss_fn, color_jitter_strength: float = 0.0,
                             jitter_seed: int = 0, heatmap_size=None,
                             sigma: float = 2.0,
                             affine_rotation: float = 0.0,
-                            affine_scale: float = 0.0):
+                            affine_scale: float = 0.0,
+                            udp: bool = False):
     """Build the jitted train step for heatmap models.
 
     batch: {"images": uint8/float NHWC} plus EITHER precomputed
@@ -137,7 +138,8 @@ def make_heatmap_train_step(loss_fn, color_jitter_strength: float = 0.0,
             images, batch["joints"], batch["visibility"] = \
                 random_affine_augment(
                     images, batch["joints"], batch["visibility"], rng_aff,
-                    affine_rotation, affine_scale, tuple(heatmap_size))
+                    affine_rotation, affine_scale, tuple(heatmap_size),
+                    udp=udp)
         if color_jitter_strength > 0:
             x = images.astype(_jnp.float32) * (1.0 / 255.0)
             x = color_jitter(x, rng_jit, color_jitter_strength)
@@ -176,7 +178,8 @@ def make_simcc_train_step(loss_fn, bins_hw, sigma: float = 6.0,
                           color_jitter_strength: float = 0.0,
                           jitter_seed: int = 0,
                           affine_rotation: float = 0.0,
-                          affine_scale: float = 0.0):
+                          affine_scale: float = 0.0,
+                          udp: bool = False):
     """Train step for SimCC coordinate-classification models
     (models/simcc.py). batch: {"images" uint8 NHWC, "joints" (B,K,2) in
     BIN coordinates, "visibility" (B,K)}. The 1D Gaussian bin targets are
@@ -201,7 +204,7 @@ def make_simcc_train_step(loss_fn, bins_hw, sigma: float = 6.0,
         if use_affine:
             images, joints, vis = random_affine_augment(
                 images, joints, vis, rng_aff,
-                affine_rotation, affine_scale, bins_hw)
+                affine_rotation, affine_scale, bins_hw, udp=udp)
         if color_jitter_strength > 0:
             x = images.astype(_jnp.float32) * (1.0 / 255.0)
             x = color_jitter(x, rng_jit, color_jitter_strength)

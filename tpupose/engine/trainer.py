@@ -110,7 +110,8 @@ class Trainer:
                 color_jitter_strength=cfg.data.color_jitter,
                 jitter_seed=cfg.train.seed,
                 affine_rotation=cfg.data.rotation_factor if dev_aff else 0.0,
-                affine_scale=cfg.data.scale_factor if dev_aff else 0.0)
+                affine_scale=cfg.data.scale_factor if dev_aff else 0.0,
+                udp=getattr(cfg.data, "udp", False))
             self.eval_step = make_heatmap_eval_step()  # plain forward
         else:
             dev_aff = getattr(cfg.data, "device_affine", False)
@@ -121,7 +122,8 @@ class Trainer:
                 heatmap_size=tuple(cfg.model.heatmap_size),
                 sigma=cfg.data.sigma,
                 affine_rotation=cfg.data.rotation_factor if dev_aff else 0.0,
-                affine_scale=cfg.data.scale_factor if dev_aff else 0.0)
+                affine_scale=cfg.data.scale_factor if dev_aff else 0.0,
+                udp=getattr(cfg.data, "udp", False))
             self.eval_step = make_heatmap_eval_step()
 
         exp_dir = os.path.join(cfg.train.output_dir, cfg.train.experiment)
@@ -338,7 +340,8 @@ class Trainer:
                 sigma=self.cfg.data.sigma,
                 shard_fn=self.mesh_mgr.shard_batch,
                 quant_scales=quant_scales,
-                family=("simcc" if self.family == "simcc" else "heatmap"))
+                family=("simcc" if self.family == "simcc" else "heatmap"),
+                udp=getattr(self.cfg.data, "udp", False))
         self._evaluator.state = self.state.for_eval()
         return self._evaluator
 
@@ -349,9 +352,11 @@ class Trainer:
 
         if getattr(self, "_project_joints", None) is None:
             hm_size = tuple(self.cfg.model.heatmap_size)
+            udp = getattr(self.cfg.data, "udp", False)
             # cached: a fresh jit per evaluate() would recompile each eval
             self._project_joints = jax.jit(jax.vmap(
-                lambda c, ct, sc: transform_preds(c, ct, sc, hm_size)))
+                lambda c, ct, sc: transform_preds(c, ct, sc, hm_size,
+                                                  udp=udp)))
         project = self._project_joints
         for batch in self.valid_loader:
             if "joints_src" not in batch:

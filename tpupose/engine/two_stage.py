@@ -53,7 +53,8 @@ class TwoStagePosePredictor:
 
     def __init__(self, pose_state, crop_size, heatmap_size,
                  max_persons: int = 16, decode: str = "dark",
-                 padding: float = 1.25, detector=None, quant_scales=None):
+                 padding: float = 1.25, detector=None, quant_scales=None,
+                 udp: bool = False):
         self.pose_state = pose_state
         self.crop_size = tuple(crop_size)
         self.heatmap_size = tuple(heatmap_size)
@@ -64,6 +65,9 @@ class TwoStagePosePredictor:
         # int8 serving of the stage-2 heatmap model (ops/quant.py scales;
         # HeatmapPredictor.calibrate_int8 on representative crops)
         self.quant_scales = dict(quant_scales) if quant_scales else None
+        # unit-length crop/back-projection convention (match the pose
+        # model's training, cfg.data.udp)
+        self.udp = udp
         self._step = jax.jit(partial(self._pose_step))
 
     def _pose_step(self, state, frames, boxes, valid):
@@ -82,7 +86,8 @@ class TwoStagePosePredictor:
         safe = jnp.asarray([0.0, 0.0, 2.0, 2.0])
         bx = jnp.where(valid[..., None] > 0, boxes, safe)
         center, scale = boxes_to_center_scale(bx, aspect, self.padding)
-        mats = jax.vmap(lambda c, s: get_affine_matrix(c, s, 0.0, (H, W)))(
+        mats = jax.vmap(lambda c, s: get_affine_matrix(
+            c, s, 0.0, (H, W), udp=self.udp))(
             center.reshape(B * D, 2), scale.reshape(B * D, 2))
         crops = crops_from_frames_auto(frames, mats, (H, W))  # (B*D,H,W,3)
         x = normalize_images(crops)
@@ -98,7 +103,8 @@ class TwoStagePosePredictor:
         hm = jnp.transpose(hm, (0, 3, 1, 2))
         coords, scores = decode_heatmaps(hm, self.decode)
         back = jax.vmap(lambda c, ct, sc: affine_transform_points(
-            c, get_affine_matrix(ct, sc, 0.0, self.heatmap_size)))
+            c, get_affine_matrix(ct, sc, 0.0, self.heatmap_size,
+                                 udp=self.udp)))
         src = back(coords, center.reshape(B * D, 2), scale.reshape(B * D, 2))
         K = src.shape[-2]
         return (src.reshape(B, D, K, 2), scores.reshape(B, D, K))

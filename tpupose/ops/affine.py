@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 
-def get_affine_matrix(center, scale, rotation_deg, out_size):
+def get_affine_matrix(center, scale, rotation_deg, out_size,
+                      udp: bool = False):
     """2x3 dst->src affine matrix.
 
     Args:
@@ -25,6 +26,12 @@ def get_affine_matrix(center, scale, rotation_deg, out_size):
       scale: (2,) crop size (w, h) in source pixels (already aspect-fixed).
       rotation_deg: scalar rotation in degrees.
       out_size: static (Ho, Wo).
+      udp: unbiased data processing (Huang et al., CVPR 2020): measure the
+        destination grid in UNIT LENGTHS (Wo-1 intervals between Wo pixel
+        centers) instead of Wo pixels, and center on the geometric grid
+        center ((Wo-1)/2). Removes the systematic half-pixel-family biases
+        of the classic MSRA convention — with udp the crop->heatmap->crop
+        round trip and the flip-test mirror are EXACT (no 1-px shift hack).
 
     Returns:
       (2, 3) matrix M with src_xy = M @ [dst_x, dst_y, 1].
@@ -32,17 +39,20 @@ def get_affine_matrix(center, scale, rotation_deg, out_size):
     Ho, Wo = out_size
     theta = jnp.deg2rad(rotation_deg)
     cos, sin = jnp.cos(theta), jnp.sin(theta)
-    sx = scale[0] / Wo
-    sy = scale[1] / Ho
+    dw, dh = (Wo - 1.0, Ho - 1.0) if udp else (float(Wo), float(Ho))
+    sx = scale[0] / dw
+    sy = scale[1] / dh
     # src = C + R @ diag(sx, sy) @ (dst - dst_center)
     R = jnp.array([[cos, -sin], [sin, cos]])
     A = R * jnp.stack([sx, sy])[None, :]
-    dst_c = jnp.array([Wo * 0.5, Ho * 0.5])
+    dst_c = jnp.array([dw * 0.5, dh * 0.5]) if udp \
+        else jnp.array([Wo * 0.5, Ho * 0.5])
     t = center - A @ dst_c
     return jnp.concatenate([A, t[:, None]], axis=1)
 
 
-def get_affine_matrix_np(center, scale, rotation_deg, out_size):
+def get_affine_matrix_np(center, scale, rotation_deg, out_size,
+                         udp: bool = False):
     """Pure-NumPy twin of get_affine_matrix for the HOST data path.
 
     Dataset __getitem__ must never dispatch device ops: one tiny jnp call
@@ -55,11 +65,13 @@ def get_affine_matrix_np(center, scale, rotation_deg, out_size):
     Ho, Wo = out_size
     theta = np.deg2rad(rotation_deg)
     cos, sin = np.cos(theta), np.sin(theta)
-    sx = scale[0] / Wo
-    sy = scale[1] / Ho
+    dw, dh = (Wo - 1.0, Ho - 1.0) if udp else (float(Wo), float(Ho))
+    sx = scale[0] / dw
+    sy = scale[1] / dh
     R = np.array([[cos, -sin], [sin, cos]], np.float64)
     A = R * np.array([sx, sy])[None, :]
-    dst_c = np.array([Wo * 0.5, Ho * 0.5])
+    dst_c = (np.array([dw * 0.5, dh * 0.5]) if udp
+             else np.array([Wo * 0.5, Ho * 0.5]))
     t = np.asarray(center, np.float64) - A @ dst_c
     return np.concatenate([A, t[:, None]], axis=1).astype(np.float32)
 
@@ -126,7 +138,8 @@ def invert_affine(matrix):
 
 def random_affine_augment(images, joints, visibility, rng,
                           rotation_factor: float, scale_factor: float,
-                          heatmap_size, rot_prob: float = 0.6):
+                          heatmap_size, rot_prob: float = 0.6,
+                          udp: bool = False):
     """Random rotation/scale augmentation INSIDE the compiled train step.
 
     The reference (and the classic MSRA pipeline) draws scale/rotation on
@@ -170,7 +183,10 @@ def random_affine_augment(images, joints, visibility, rng,
     # image warp dst->src: A = m*R(θ)  (B, 2, 2)
     A = mult[:, None, None] * jnp.stack(
         [jnp.stack([cos, -sin], -1), jnp.stack([sin, cos], -1)], -2)
-    c_img = jnp.array([W * 0.5, H * 0.5])
+    # udp: rotate about the geometric grid center (W-1)/2 (unit-length
+    # convention, matching get_affine_matrix(udp=True)); classic: W/2
+    c_img = (jnp.array([(W - 1) * 0.5, (H - 1) * 0.5]) if udp
+             else jnp.array([W * 0.5, H * 0.5]))
     t = c_img[None, :] - jnp.einsum("bij,j->bi", A, c_img)
     mats = jnp.concatenate([A, t[..., None]], axis=-1)  # (B, 2, 3)
     # Pallas MXU warp on TPU (14x the XLA gather path), XLA elsewhere
@@ -182,7 +198,8 @@ def random_affine_augment(images, joints, visibility, rng,
     inv_m = 1.0 / mult
     Ainv = inv_m[:, None, None] * jnp.stack(
         [jnp.stack([cos, sin], -1), jnp.stack([-sin, cos], -1)], -2)
-    c_hm = jnp.array([Wh * 0.5, Hh * 0.5])
+    c_hm = (jnp.array([(Wh - 1) * 0.5, (Hh - 1) * 0.5]) if udp
+            else jnp.array([Wh * 0.5, Hh * 0.5]))
     jnew = jnp.einsum("bij,bkj->bki", Ainv, joints - c_hm) + c_hm
     inside = ((jnew[..., 0] >= 0) & (jnew[..., 0] < Wh)
               & (jnew[..., 1] >= 0) & (jnew[..., 1] < Hh))
@@ -190,7 +207,7 @@ def random_affine_augment(images, joints, visibility, rng,
     return out, jnew, vis
 
 
-def transform_preds(coords, center, scale, heatmap_size):
+def transform_preds(coords, center, scale, heatmap_size, udp: bool = False):
     """Map heatmap-space keypoint coords back to original-image space.
 
     The inverse of the crop: the MSRA `transform_preds` equivalent, fully
@@ -199,5 +216,5 @@ def transform_preds(coords, center, scale, heatmap_size):
     """
     Hh, Wh = heatmap_size
     # heatmap -> crop-relative unit -> source pixels (rotation=0 at eval)
-    m = get_affine_matrix(center, scale, 0.0, (Hh, Wh))
+    m = get_affine_matrix(center, scale, 0.0, (Hh, Wh), udp=udp)
     return affine_transform_points(coords, m)

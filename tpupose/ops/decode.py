@@ -168,9 +168,14 @@ def flip_back(flipped_heatmaps, flip_pairs, shift: bool = True):
     return hm
 
 
-def merge_flip(heatmaps, flipped_heatmaps, flip_pairs):
-    """Flip-test averaging (graded HRNet-W48 config)."""
-    return 0.5 * (heatmaps + flip_back(flipped_heatmaps, flip_pairs))
+def merge_flip(heatmaps, flipped_heatmaps, flip_pairs, shift: bool = True):
+    """Flip-test averaging (graded HRNet-W48 config).
+
+    shift=False under UDP (unit-length) processing: there the heatmap-axis
+    reversal IS the exact mirror, so the classic 1-px alignment shift would
+    itself introduce the bias it normally corrects."""
+    return 0.5 * (heatmaps + flip_back(flipped_heatmaps, flip_pairs,
+                                       shift=shift))
 
 
 # ---------------------------------------------------------------------------
