@@ -88,7 +88,7 @@ def _make_state(model):
                               jnp.zeros((1, *IMG_SIZE, 3)), optax.sgd(0.0))
 
 
-def _run_eval(coco_val_root, shift=0):
+def _run_eval(coco_val_root, shift=0, results_path=None):
     from tpupose.data.coco import CocoTopDownDataset
     from tpupose.data.loader import BatchLoader
     from tpupose.engine.evaluator import TopDownEvaluator
@@ -110,7 +110,7 @@ def _run_eval(coco_val_root, shift=0):
     # first three COCO-17 sigmas
     sigmas = np.full(K, 0.05, np.float32)
     return ev.run(loader, [OKSAP(num_classes=1, sigmas=sigmas),
-                           PCK(alpha=0.2)])
+                           PCK(alpha=0.2)], results_path=results_path)
 
 
 def test_oksap_end_to_end_perfect(coco_val_root):
@@ -118,6 +118,49 @@ def test_oksap_end_to_end_perfect(coco_val_root):
     assert out["mAP"] > 0.95, out
     assert out["mAP50"] > 0.99, out
     assert out["pck"] > 0.99, out
+
+
+def test_results_json_dump(coco_val_root, tmp_path):
+    """results_path writes the standard COCO keypoint-results format:
+    one entry per person instance, [x, y, score]*K keypoints in SOURCE
+    pixels, image_ids matching the annotation file, instance score =
+    mean keypoint confidence — directly consumable by pycocotools."""
+    path = str(tmp_path / "sub" / "results.json")
+    out = _run_eval(coco_val_root, results_path=path)
+    assert out["mAP"] > 0.95
+    with open(path) as f:
+        res = json.load(f)
+    with open(os.path.join(coco_val_root, "annotations",
+                           "person_keypoints_val2017.json")) as f:
+        ann = json.load(f)
+    assert len(res) == len(ann["annotations"]) == 6
+    valid_ids = {im["id"] for im in ann["images"]}
+    by_img = {}
+    for r in res:
+        assert r["category_id"] == 1
+        assert r["image_id"] in valid_ids
+        assert len(r["keypoints"]) == 3 * K
+        # (no [0,1] bound: MSE-trained heatmap peaks aren't probabilities,
+        # and this synthetic model's peaks are painted image values)
+        kp = np.asarray(r["keypoints"], np.float32).reshape(K, 3)
+        assert abs(r["score"] - kp[:, 2].mean()) < 1e-3
+        by_img.setdefault(r["image_id"], []).append(kp)
+    # GT-perfect model: every predicted keypoint lands within ~2 source px
+    # of the same-index GT keypoint of SOME instance in its image (a crop
+    # can lock onto a neighbor's stronger painted peak per channel, which
+    # OKS-AP's greedy matching tolerates the same way)
+    gt_by_img = {}
+    for a in ann["annotations"]:
+        g = np.asarray(a["keypoints"], np.float32).reshape(K, 3)
+        gt_by_img.setdefault(a["image_id"], []).append(g)
+    for iid, preds in by_img.items():
+        gts = gt_by_img[iid]
+        for kp in preds:
+            for k in range(K):
+                best = min(np.abs(kp[k, :2] - g[k, :2]).max() for g in gts)
+                # 1 heatmap px = 4 source px here: proves the JSON is in
+                # SOURCE pixels (a crop/heatmap-space bug would be >40 px)
+                assert best < 4.0, (iid, k, best)
 
 
 def test_oksap_end_to_end_shifted(coco_val_root):

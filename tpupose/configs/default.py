@@ -112,6 +112,9 @@ class EvalConfig:
     video_batch: int = 8                # frames per device batch (cli/video)
     interval: int = 1
     run_metrics: bool = False           # metric eval each interval (heatmap)
+    # non-empty: Trainer.evaluate/--test also dumps every prediction as a
+    # standard COCO keypoint-results JSON (pycocotools-scoreable)
+    dump_results: str = ""
     int8: bool = False                  # serve inference/eval with int8 PTQ
                                         # (ops/quant.py; calibrated on the
                                         # first batch seen)

@@ -172,7 +172,8 @@ class TopDownEvaluator:
         return self._step(self.state, jnp.asarray(images),
                           jnp.asarray(centers), jnp.asarray(scales))
 
-    def run(self, loader, metrics: Sequence, gt_key: str = "joints_src"):
+    def run(self, loader, metrics: Sequence, gt_key: str = "joints_src",
+            results_path: str | None = None):
         """Drive all metrics over a loader.
 
         loader yields dicts with images/center/scale, GT joints in source
@@ -181,6 +182,13 @@ class TopDownEvaluator:
         here). Coordinate metrics (PCK/PCKh/PDJ/PCP/MPJPE) get
         update(coords, gt, vis); OKSAP gets per-source-image groups of
         (pred, score, gt, vis, area). Returns the merged scalar results.
+
+        results_path: also dump every prediction in the standard COCO
+        keypoint-results JSON format ([{image_id, category_id, keypoints
+        [x,y,s]*K, score}]) — directly scoreable by pycocotools
+        (COCOeval 'keypoints') or re-loadable for offline analysis. The
+        instance score is the mean keypoint confidence, matching the
+        OKSAP scoring above.
         """
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
@@ -190,6 +198,7 @@ class TopDownEvaluator:
         coord_metrics = [m for m in metrics if not isinstance(m, OKSAP)]
         ap_metrics = [m for m in metrics if isinstance(m, OKSAP)]
         groups: dict = {}
+        results: list = []
         next_id = 0
 
         def accumulate(fut, batch):
@@ -200,6 +209,20 @@ class TopDownEvaluator:
             coords, scores = coords[keep], scores[keep]
             gt = np.asarray(batch[gt_key])[keep]
             vis = np.asarray(batch["visibility"])[keep]
+            if results_path is not None:
+                ids = (np.asarray(batch["image_id"]).reshape(-1)[keep]
+                       if "image_id" in batch
+                       else np.full(len(coords), -1))
+                kps = np.concatenate(
+                    [coords, np.asarray(scores)[..., None]], axis=-1)
+                for i in range(len(coords)):
+                    results.append({
+                        "image_id": int(ids[i]),
+                        "category_id": 1,
+                        "keypoints": [round(float(v), 3)
+                                      for v in kps[i].reshape(-1)],
+                        "score": round(float(scores[i].mean()), 5),
+                    })
             for m in coord_metrics:
                 m.update(coords, gt, vis)
             if ap_metrics:
@@ -243,6 +266,15 @@ class TopDownEvaluator:
                 # top-down preds come from known person crops: the
                 # detection's own area IS the crop area (drives AP_M/AP_L)
                 m.update(pk, ps, gk, gv, ga, pred_area=ga)
+        if results_path is not None:
+            import json
+            import os
+
+            d = os.path.dirname(results_path)
+            if d:
+                os.makedirs(d, exist_ok=True)
+            with open(results_path, "w") as f:
+                json.dump(results, f)
         out = {}
         for m in metrics:
             out.update({k: float(v) for k, v in m.compute().items()

@@ -377,7 +377,9 @@ class Trainer:
         if self.family not in ("heatmap", "simcc"):
             return {"val_loss": self.validate()}
         ev = self._get_evaluator()
-        out = ev.run(self._eval_batches(), self._build_eval_metrics())
+        out = ev.run(self._eval_batches(), self._build_eval_metrics(),
+                     results_path=(getattr(self.cfg.eval, "dump_results", "")
+                                   or None))
         printM("eval: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
         return out
 
