@@ -115,6 +115,12 @@ class EvalConfig:
     # non-empty: Trainer.evaluate/--test also dumps every prediction as a
     # standard COCO keypoint-results JSON (pycocotools-scoreable)
     dump_results: str = ""
+    # non-empty: ALSO run the official detection-box protocol (crops from
+    # a COCO detection-results JSON instead of GT boxes) and report the AP
+    # suite under det_* (engine/det_eval.py). coco data only.
+    det_boxes: str = ""
+    det_score_threshold: float = 0.0
+    det_max_per_image: int = 100
     int8: bool = False                  # serve inference/eval with int8 PTQ
                                         # (ops/quant.py; calibrated on the
                                         # first batch seen)

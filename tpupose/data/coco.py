@@ -233,7 +233,7 @@ class CocoTopDownDataset:
         inside = ((joints_hm[:, 0] >= 0) & (joints_hm[:, 0] < Wh)
                   & (joints_hm[:, 1] >= 0) & (joints_hm[:, 1] < Hh))
         vis = np.where(inside, vis, 0.0)
-        return {
+        out = {
             "image_id": np.int64(s["image_id"]),
             "center": center, "scale": scale, "rotation": np.float32(rot),
             "joints": joints_hm.astype(np.float32),   # heatmap coords
@@ -242,6 +242,9 @@ class CocoTopDownDataset:
             "area": np.float32(s["area"]),
             "flipped": flipped,
         }
+        if "det_score" in s:   # detection-driven eval (engine/det_eval.py)
+            out["det_score"] = np.float32(s["det_score"])
+        return out
 
     def _flip_folded_matrix(self, s, center, scale, rot, flipped):
         """dst->src matrix in ORIGINAL-image pixels: the horizontal flip is

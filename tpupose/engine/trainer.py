@@ -380,8 +380,44 @@ class Trainer:
         out = ev.run(self._eval_batches(), self._build_eval_metrics(),
                      results_path=(getattr(self.cfg.eval, "dump_results", "")
                                    or None))
+        det_file = getattr(self.cfg.eval, "det_boxes", "")
+        if det_file:
+            out.update(self.evaluate_detections(det_file))
         printM("eval: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
         return out
+
+    def evaluate_detections(self, det_file: str) -> dict:
+        """Official COCO top-down protocol: crops from DETECTOR boxes
+        (a COCO detection-results JSON) instead of GT boxes, scored by
+        OKS-AP greedy matching against the val annotations. Results are
+        prefixed det_* so both protocols can be reported side by side."""
+        import os as _os
+
+        from tpupose.engine.det_eval import (DetectionCropDataset,
+                                             evaluate_detections)
+
+        from tpupose.utils.logging import printW
+
+        d = self.cfg.data
+        if d.name != "coco":
+            printW("eval.det_boxes requires data.name=coco; skipping")
+            return {}
+        ds = DetectionCropDataset(
+            image_dir=_os.path.join(d.root, "val2017"),
+            ann_file=_os.path.join(d.root, "annotations",
+                                   "person_keypoints_val2017.json"),
+            det_file=det_file,
+            image_size=tuple(d.image_size),
+            heatmap_size=tuple(self.cfg.model.heatmap_size),
+            num_keypoints=self.cfg.model.num_keypoints,
+            score_threshold=getattr(self.cfg.eval, "det_score_threshold",
+                                    0.0),
+            max_per_image=getattr(self.cfg.eval, "det_max_per_image", 100),
+            udp=getattr(d, "udp", False))
+        out = evaluate_detections(self._get_evaluator(), ds,
+                                  batch_size=self.cfg.eval.batch_size,
+                                  num_workers=d.num_workers)
+        return {f"det_{k}": v for k, v in out.items()}
 
     def train(self):
         cfg = self.cfg.train
