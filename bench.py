@@ -176,6 +176,35 @@ def bench_simcc_infer():
                 lambda: step(dev[:1]), probe), 2)}
 
 
+def bench_vit_infer():
+    """DINOv3Pose ViT-S 640^2 e2e (forward + grid decode + NMS path is in
+    bench_video; this times the raw fused forward): exercises the Pallas
+    flash-attention path (ops/attention.py) — 1605 tokens x 12 layers."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpupose.models.dinov3_pose import DINOv3Pose
+    from tpupose.ops.preprocess import normalize_images
+
+    B, S = 16, 640
+    model = DINOv3Pose(backbone="dinov3_vit_small", num_keypoints=4,
+                       num_classes=7, dtype=jnp.bfloat16)
+    imgs = np.random.randint(0, 256, (B, S, S, 3), np.uint8)
+    x0 = normalize_images(jnp.asarray(imgs), scale_only=True)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+
+    @jax.jit
+    def fwd(images):
+        return model.apply(variables,
+                           normalize_images(images, scale_only=True),
+                           train=False)
+
+    dev = jax.device_put(jnp.asarray(imgs))
+    first = lambda r: np.asarray(jax.tree_util.tree_leaves(r)[0][:1, :1])
+    dt = _steady_s(lambda: fwd(dev), first)
+    return {"img_per_s": round(B / dt, 2)}
+
+
 # ---------------------------------------------------------------------------
 # config 2: R50 256x192 training (JointsMSE + in-step Gaussian targets +
 # on-device color jitter) — device step rate AND JPEG-on-disk pipeline rate
@@ -469,6 +498,7 @@ def main():
     extra = {"r50_infer": r50}
     if not quick:
         for name, fn in (("simcc_infer", bench_simcc_infer),
+                         ("vit_s_640_infer", bench_vit_infer),
                          ("r50_train", bench_r50_train),
                          ("hrnet_w32_train", bench_hrnet_w32_train),
                          ("hrnet_w48_eval", bench_hrnet_w48_eval),

@@ -9,7 +9,8 @@ pose/pose/model/utils.py:33-134). The reference steals the architecture
 from torch.hub; here it is implemented natively (SURVEY.md §2.9: Flax ViT
 w/ 2D RoPE + storage tokens + a weight-converter seam).
 
-TPU design: attention uses jax.nn.dot_product_attention (fused SDPA;
+TPU design: attention uses ops/attention.fused_attention (Pallas flash
+kernel on TPU, 2.5x the materializing SDPA at pose sequence lengths;
 <= (640/16)^2 = 1600 tokens fits VMEM trivially, SURVEY.md §5.7); bf16
 compute; static token counts (CLS + storage + patch).
 """
@@ -86,7 +87,11 @@ class RopeAttention(nn.Module):
         # rope on patch tokens only
         q = jnp.concatenate([q[:, :p], apply_rope(q[:, p:], sin, cos)], axis=1)
         k = jnp.concatenate([k[:, :p], apply_rope(k[:, p:], sin, cos)], axis=1)
-        out = jax.nn.dot_product_attention(q, k, v)
+        # Pallas flash kernel on TPU (2.5x the materializing XLA SDPA at
+        # 640^2 pose sequence lengths — ops/attention.py), SDPA elsewhere
+        from tpupose.ops.attention import fused_attention
+
+        out = fused_attention(q, k, v)
         out = out.reshape(B, T, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
