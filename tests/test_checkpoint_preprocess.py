@@ -53,6 +53,25 @@ def test_checkpoint_best_tracking_and_resume(tmp_path):
     mgr2.close()
 
 
+def test_restore_path_at_best_suffix(tmp_path):
+    """`<dir>@best` (every CLI's --ckpt and Trainer.load_checkpoint)
+    restores the durable best slot, not the latest periodic step."""
+    from tpupose.engine.checkpoint import CheckpointManager, restore_path
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), interval=1)
+    s = _tiny_state()
+    mgr.save(1, s.replace(step=jnp.asarray(1, jnp.int32)), metric=1.0,
+             epoch=0)                                    # the best
+    mgr.save(5, s.replace(step=jnp.asarray(5, jnp.int32)), metric=9.0,
+             epoch=1)                                    # latest, worse
+    mgr.close()
+    restored, step = restore_path(_tiny_state(), str(tmp_path / "ck"))
+    assert step == 5
+    restored, step = restore_path(_tiny_state(),
+                                  str(tmp_path / "ck") + "@best")
+    assert step == 1 and int(restored.step) == 1
+
+
 def test_checkpoint_epoch_gating(tmp_path):
     """ckpt_interval is in epochs: with interval=2, only epochs 1, 3, ...
     produce periodic saves regardless of the global step value."""

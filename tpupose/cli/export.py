@@ -43,9 +43,9 @@ def export_model(cfg, out: str, fmt: str = "both", batch: int = 8,
                                jnp.zeros((1, H, W, 3), jnp.float32),
                                optax.sgd(0.0))
     if weights:
-        mgr = CheckpointManager(weights)
-        state, _ = mgr.restore(state)
-        mgr.close()
+        from tpupose.engine.checkpoint import restore_path
+
+        state, _ = restore_path(state, weights)   # supports <dir>@best
     else:
         printW("no --ckpt given: exporting random weights")
 

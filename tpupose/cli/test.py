@@ -78,9 +78,9 @@ def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
     sample = jnp.zeros((1, H, W, 3), jnp.float32)
     state = create_train_state(model, rng, sample, optax.sgd(0.0))
     if weights:
-        mgr = CheckpointManager(weights)
-        state, _ = mgr.restore(state)
-        mgr.close()
+        from tpupose.engine.checkpoint import restore_path
+
+        state, _ = restore_path(state, weights)   # supports <dir>@best
     else:
         printW("no --ckpt given: running with random weights")
 

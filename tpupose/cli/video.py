@@ -58,9 +58,9 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
                                jnp.zeros((1, H, W, 3), jnp.float32),
                                optax.sgd(0.0))
     if weights:
-        mgr = CheckpointManager(weights)
-        state, _ = mgr.restore(state)
-        mgr.close()
+        from tpupose.engine.checkpoint import restore_path
+
+        state, _ = restore_path(state, weights)   # supports <dir>@best
 
     # eval.int8: quantized serving (ops/quant.py) calibrated on the first
     # frame of the run (detector) / the first chunk's crops (stage 2)
@@ -103,9 +103,9 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
                                     jnp.zeros((1, pH, pW, 3), jnp.float32),
                                     optax.sgd(0.0))
         if pose_ckpt:
-            mgr = CheckpointManager(pose_ckpt)
-            pstate, _ = mgr.restore(pstate)
-            mgr.close()
+            from tpupose.engine.checkpoint import restore_path
+
+            pstate, _ = restore_path(pstate, pose_ckpt)
         pose_scales = None
         if cfg.eval.int8:
             from tpupose.engine.predictor import HeatmapPredictor

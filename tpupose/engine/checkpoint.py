@@ -151,3 +151,19 @@ class CheckpointManager:
     def close(self):
         self._mgr.close()
         self._best_mgr.close()
+
+
+def restore_path(state, path: str):
+    """Restore `state` from a checkpoint-directory path, honoring the
+    `<dir>@best` suffix: `--ckpt out/exp/ckpt@best` loads the durable
+    best-by-metric slot instead of the latest periodic step (the
+    reference's best.pt vs pose_dino_epoch_N.pt split,
+    pose/pose/engine/trainer.py:124-133). Returns (state, step)."""
+    best = False
+    if path.endswith("@best"):
+        best, path = True, path[: -len("@best")]
+    mgr = CheckpointManager(path)
+    try:
+        return mgr.restore(state, best=best)
+    finally:
+        mgr.close()

@@ -448,10 +448,12 @@ class Trainer:
         self.ckpt.save(int(self.state.step), self.state, metric=metric, force=True)
 
     def load_checkpoint(self, path: str | None = None):
-        if path and os.path.isdir(path):
-            mgr = CheckpointManager(path)
-            self.state, step = mgr.restore(self.state)
-            mgr.close()
+        best = bool(path) and path.endswith("@best")
+        dirpath = path[: -len("@best")] if best else path
+        if dirpath and os.path.isdir(dirpath):
+            from tpupose.engine.checkpoint import restore_path
+
+            self.state, step = restore_path(self.state, path)
         else:
-            self.state, step = self.ckpt.restore(self.state)
+            self.state, step = self.ckpt.restore(self.state, best=best)
         return step
