@@ -10,6 +10,7 @@ Usage:
     python -m tpupose.cli.tools check-data  --images d/images --labels d/labels --out viz/ [--nkpts 4]
     python -m tpupose.cli.tools check-labels --labels d/labels --nkpts 4 [--delete] [--images d/images]
     python -m tpupose.cli.tools resize --images src/ --out dst/ --size 640 [--workers 8]
+    python -m tpupose.cli.tools convert-coco --ann annotations.json --out labels/
 """
 
 from __future__ import annotations
@@ -114,6 +115,54 @@ def resize_images(images: str, out: str, size: int = 640, workers: int = 8):
     printS(f"resized {len(paths)} images to {size}x{size} in {out}")
 
 
+def convert_coco(ann: str, out: str, min_keypoints: int = 1):
+    """COCO keypoints JSON -> YOLO-pose txt labels.
+
+    Writes one `<image_stem>.txt` per annotated image with rows
+    `cls cx cy w h (x y v)*K`, normalized to [0, 1] — exactly the format
+    YoloPoseDataset parses (data/yolo_pose.py; reference HPE/dataset.py
+    rows). Visibility keeps COCO semantics clamped to {0, 1, 2}. The
+    reference repo's YOLO-format dataset was prepared by hand; this is
+    the missing bridge from standard COCO annotations.
+    """
+    import json
+
+    with open(ann) as f:
+        data = json.load(f)
+    os.makedirs(out, exist_ok=True)
+    images = {im["id"]: im for im in data["images"]}
+    rows_per_image: dict = {}
+    skipped = 0
+    for a in data.get("annotations", []):
+        if a.get("iscrowd", 0) or "keypoints" not in a:
+            skipped += 1
+            continue
+        kp = np.asarray(a["keypoints"], np.float32).reshape(-1, 3)
+        if int((kp[:, 2] > 0).sum()) < min_keypoints:
+            skipped += 1
+            continue
+        im = images[a["image_id"]]
+        W0, H0 = float(im["width"]), float(im["height"])
+        x, y, w, h = [float(v) for v in a["bbox"]]
+        cls = int(a.get("category_id", 1)) - 1
+        row = [cls, (x + w / 2) / W0, (y + h / 2) / H0, w / W0, h / H0]
+        for px, py, pv in kp:
+            row += [float(px) / W0, float(py) / H0,
+                    float(np.clip(pv, 0, 2))]
+        rows_per_image.setdefault(a["image_id"], []).append(row)
+    n_rows = 0
+    for iid, rows in rows_per_image.items():
+        stem = os.path.splitext(images[iid]["file_name"])[0]
+        with open(os.path.join(out, os.path.basename(stem) + ".txt"),
+                  "w") as f:
+            for r in rows:
+                f.write(str(int(r[0])) + " "
+                        + " ".join(f"{v:.6f}" for v in r[1:]) + "\n")
+        n_rows += len(rows)
+    printS(f"wrote {len(rows_per_image)} label files / {n_rows} instances "
+           f"to {out} ({skipped} annotations skipped)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -133,11 +182,17 @@ def main(argv=None):
     c.add_argument("--out", required=True)
     c.add_argument("--size", type=int, default=640)
     c.add_argument("--workers", type=int, default=8)
+    d = sub.add_parser("convert-coco")
+    d.add_argument("--ann", required=True, help="COCO keypoints json")
+    d.add_argument("--out", required=True, help="output labels dir")
+    d.add_argument("--min-keypoints", type=int, default=1)
     args = p.parse_args(argv)
     if args.cmd == "check-data":
         check_data(args.images, args.labels, args.out, args.nkpts, args.limit)
     elif args.cmd == "check-labels":
         check_labels(args.labels, args.nkpts, args.delete, args.images)
+    elif args.cmd == "convert-coco":
+        convert_coco(args.ann, args.out, args.min_keypoints)
     else:
         resize_images(args.images, args.out, args.size, args.workers)
     return 0
