@@ -136,6 +136,9 @@ class LossConfig:
     kpt_weight: float = 10.0
     vis_weight: float = 5.0
     use_target_weight: bool = True
+    # rle (losses/rle.py): residual Q-term on/off and its distribution
+    rle_residual: bool = True
+    rle_q: str = "laplace"              # laplace | gaussian
 
 
 @dataclass

@@ -58,7 +58,10 @@ class Builder:
                        freeze_backbone=m.freeze_backbone,
                        reg_max=self._reg_max(), dtype=dtype)
         if m.name == "deeppose":
-            return cls(backbone=m.backbone, num_keypoints=m.num_keypoints, dtype=dtype)
+            # loss rle implies the (mu, sigma) + flow head — the loss and
+            # the head must agree (same coupling precedent as v8/reg_max)
+            return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
+                       rle=(self.cfg.loss.name == "rle"), dtype=dtype)
         if m.name == "simcc":
             # the bin grid doubles as cfg.model.heatmap_size so the joint
             # transform / evaluator back-projection plumbing is shared —
@@ -102,6 +105,14 @@ class Builder:
             from tpupose.losses.heatmap import coord_mse_loss
 
             return coord_mse_loss
+        if name == "rle":
+            import functools
+
+            from tpupose.losses.rle import rle_loss
+
+            return functools.partial(rle_loss,
+                                     residual=self.cfg.loss.rle_residual,
+                                     q=self.cfg.loss.rle_q)
         if name == "simcc_kl":
             from tpupose.losses.simcc import simcc_kl_loss
 

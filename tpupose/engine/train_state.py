@@ -259,6 +259,38 @@ def make_regression_train_step(loss_fn):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_rle_train_step(loss_fn):
+    """Train step for RLE coordinate regression (DeepPose(rle=True)).
+
+    batch: {"images": uint8 NHWC, "target_coords": (B, K, 2) normalized,
+            "visibility": (B, K)}. The model apply takes the target and
+    returns (mu, sigma, log_phi); loss_fn is losses/rle.rle_loss (already
+    bound to residual/q) — the flow NLL backprops into the flow params,
+    the head, and the backbone in one program.
+    """
+    from tpupose.ops.preprocess import normalize_images
+
+    def train_step(state: TrainState, batch):
+        imgs = normalize_images(batch["images"])
+
+        def compute_loss(params):
+            (mu, sigma, log_phi), mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, train=True, target=batch["target_coords"],
+                mutable=["batch_stats"],
+            )
+            loss = loss_fn(mu, sigma, log_phi, batch["target_coords"],
+                           batch.get("visibility"))
+            return loss, mut.get("batch_stats", state.batch_stats)
+
+        (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
 def make_yolo_train_step(loss_fn):
     """Jitted train step for single-stage YOLO-pose models.
 

@@ -77,6 +77,8 @@ class Trainer:
             self.family = "yolo"
         elif cfg.loss.name == "coord_mse":
             self.family = "regression"
+        elif cfg.loss.name == "rle":
+            self.family = "rle"
         elif cfg.loss.name == "simcc_kl":
             self.family = "simcc"
         else:
@@ -85,6 +87,20 @@ class Trainer:
         if self.family == "regression":
             self.train_step = make_regression_train_step(self.loss_fn)
             self.eval_step = make_heatmap_eval_step()  # plain forward
+        elif self.family == "rle":
+            from tpupose.engine.train_state import make_rle_train_step
+            from tpupose.ops.preprocess import normalize_images as _norm
+
+            self.train_step = make_rle_train_step(self.loss_fn)
+            self.eval_step = make_heatmap_eval_step()  # returns (mu, sigma)
+
+            def _rle_val_step(state, images, target, vis):
+                mu, sigma, log_phi = state.apply_fn(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    _norm(images), train=False, target=target)
+                return self.loss_fn(mu, sigma, log_phi, target, vis)
+
+            self.val_step = jax.jit(_rle_val_step)
         elif self.family == "yolo":
             self.train_step = make_yolo_train_step(self.loss_fn)
 
@@ -164,7 +180,7 @@ class Trainer:
             return self.mesh_mgr.shard_batch(
                 {k: batch[k] for k in
                  ("images", "boxes", "classes", "keypoints", "instance_mask")})
-        if self.family == "regression":
+        if self.family in ("regression", "rle"):
             Hh, Wh = self.cfg.model.heatmap_size
             dev = self.mesh_mgr.shard_batch(
                 {"images": batch["images"], "joints": batch["joints"],
@@ -249,12 +265,15 @@ class Trainer:
                 db = dict(db)
                 if self.family == "yolo":
                     db["instance_mask"] = db["instance_mask"] * m[:, None]
-                elif self.family == "regression":
+                elif self.family in ("regression", "rle"):
                     db["visibility"] = db["visibility"] * m[:, None]
                 else:
                     db["target_weight"] = db["target_weight"] * m[:, None]
             if self.family == "yolo":
                 loss = self.val_step(eval_state, db)
+            elif self.family == "rle":
+                loss = self.val_step(eval_state, db["images"],
+                                     db["target_coords"], db["visibility"])
             elif self.family == "regression":
                 preds = self.eval_step(eval_state, db["images"])
                 loss = self.loss_fn(preds, db["target_coords"],
