@@ -30,6 +30,7 @@ class ModelConfig:
     # top-down heatmap options
     heatmap_size: tuple = (64, 48)      # (H, W); for simcc: the BIN grid
     deconv_channels: tuple = (256, 256, 256)
+    decoder: str = "classic"            # vitpose head: classic | simple
     # simcc options (models/simcc.py): bins per input pixel; requires
     # heatmap_size == image_size * split_ratio (Builder enforces)
     split_ratio: float = 2.0

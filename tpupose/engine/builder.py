@@ -19,7 +19,8 @@ from tpupose.parallel.mesh import MeshManager
 from tpupose.utils.logging import printT
 
 
-_BACKBONE_PREFIXES = ("ResNet", "ConvNeXt", "ViT", "HRNet", "backbone", "Dinov3")
+_BACKBONE_PREFIXES = ("ResNet", "ConvNeXt", "ViT", "HRNet", "backbone",
+                      "Dinov3", "DinoViT")
 
 
 def is_backbone_path(path: tuple) -> bool:
@@ -62,6 +63,11 @@ class Builder:
             # the head must agree (same coupling precedent as v8/reg_max)
             return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
                        rle=(self.cfg.loss.name == "rle"), dtype=dtype)
+        if m.name == "vitpose":
+            return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
+                       decoder=m.decoder,
+                       deconv_channels=tuple(m.deconv_channels)[:2],
+                       freeze_backbone=m.freeze_backbone, dtype=dtype)
         if m.name == "simcc":
             # the bin grid doubles as cfg.model.heatmap_size so the joint
             # transform / evaluator back-projection plumbing is shared —

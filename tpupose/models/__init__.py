@@ -8,6 +8,7 @@ from tpupose.models.backbones.hrnet import HRNetPose
 from tpupose.models.fcmae import FCMAE
 from tpupose.models.fskd import FSKD
 from tpupose.models.simcc import SimCCPose
+from tpupose.models.vitpose import ViTPose
 from tpupose.models.heads import HeatmapHead, RegressionHead, ClassifyHead
 from tpupose.models.attention import Attention, GatedAttention
 from tpupose.models.meta import MetaSpace, gaussian_pool
@@ -20,6 +21,7 @@ MODELS = {
     "fcmae": FCMAE,
     "fskd": FSKD,
     "simcc": SimCCPose,
+    "vitpose": ViTPose,
 }
 
 
@@ -36,6 +38,6 @@ def get_model(name: str):
 
 __all__ = ["MODELS", "register_model", "get_model",
            "SimpleBaseline", "DINOv3Pose", "DeepPose", "HRNetPose",
-           "FCMAE", "FSKD", "SimCCPose",
+           "FCMAE", "FSKD", "SimCCPose", "ViTPose",
            "HeatmapHead", "RegressionHead", "ClassifyHead",
            "Attention", "GatedAttention", "MetaSpace", "gaussian_pool"]
