@@ -122,6 +122,11 @@ class EvalConfig:
     det_boxes: str = ""
     det_score_threshold: float = 0.0
     det_max_per_image: int = 100
+    # instance dedup before AP scoring (ops/oks_nms.py): the official
+    # protocol's oks_nms(thr=0.9, in_vis_thre=0.2); soft_oks | none
+    det_nms: str = "oks"
+    det_nms_threshold: float = 0.9
+    det_vis_threshold: float = 0.2
     int8: bool = False                  # serve inference/eval with int8 PTQ
                                         # (ops/quant.py; calibrated on the
                                         # first batch seen)

@@ -135,7 +135,9 @@ class DetectionCropDataset(CocoTopDownDataset):
 def evaluate_detections(evaluator, dataset: DetectionCropDataset,
                         batch_size: int = 64, sigmas=None,
                         rescore: bool = True, num_workers: int = 2,
-                        results_path: str | None = None) -> dict:
+                        results_path: str | None = None,
+                        nms: str = "oks", nms_threshold: float = 0.9,
+                        vis_threshold: float = 0.2) -> dict:
     """Run the detection-driven protocol and return the COCO keypoint AP
     suite (mAP/mAP50/mAP75/AP_M/AP_L/AR...).
 
@@ -143,6 +145,11 @@ def evaluate_detections(evaluator, dataset: DetectionCropDataset,
     DARK / udp configured there). Every fused eval program runs batched on
     device; only (B, K, 3) results return. Images with GT but zero
     detections still count their GTs (recall denominator).
+
+    nms: per-image instance dedup before scoring — "oks" (hard greedy at
+    nms_threshold, the official protocol default), "soft_oks" (Gaussian
+    rescoring), or "none". vis_threshold gates which joints contribute to
+    the pairwise OKS (the in_vis_thre of the official implementation).
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -164,17 +171,14 @@ def evaluate_detections(evaluator, dataset: DetectionCropDataset,
         coords, scores = np.asarray(coords)[keep], np.asarray(scores)[keep]
         ids = np.asarray(batch["image_id"]).reshape(-1)[keep]
         det = np.asarray(batch["det_score"], np.float32).reshape(-1)[keep]
+        sc = np.asarray(batch["scale"], np.float32).reshape(-1, 2)[keep] \
+            if "scale" in batch else None
+        area = (sc[:, 0] * sc[:, 1] if sc is not None
+                else np.ones(len(det), np.float32))
         inst = det * scores.mean(axis=-1) if rescore else det
         for i in range(len(coords)):
             groups.setdefault(int(ids[i]), []).append(
-                (coords[i], float(inst[i])))
-            if results_path is not None:
-                kp = np.concatenate([coords[i], scores[i][:, None]], -1)
-                results.append({
-                    "image_id": int(ids[i]), "category_id": 1,
-                    "keypoints": [round(float(v), 3)
-                                  for v in kp.reshape(-1)],
-                    "score": round(float(inst[i]), 5)})
+                (coords[i], float(inst[i]), scores[i], float(area[i])))
 
     pool = ThreadPoolExecutor(max_workers=2)
     inflight: deque = deque()
@@ -195,6 +199,31 @@ def evaluate_detections(evaluator, dataset: DetectionCropDataset,
     ap = OKSAP(num_classes=1, sigmas=sigmas)
     for iid, gts in dataset.gt_by_image.items():
         preds = groups.get(iid, [])
+        if preds and nms != "none":
+            from tpupose.ops.oks_nms import oks_nms, soft_oks_nms
+
+            pk_all = np.stack([p[0] for p in preds])
+            ps_all = np.asarray([p[1] for p in preds], np.float32)
+            ks_all = np.stack([p[2] for p in preds])
+            ar_all = np.asarray([p[3] for p in preds], np.float32)
+            if nms == "soft_oks":
+                keep, ps_kept = soft_oks_nms(
+                    pk_all, ps_all, ar_all, sigmas=sigmas, kscores=ks_all,
+                    vis_threshold=vis_threshold)
+                preds = [(preds[j][0], float(s), preds[j][2], preds[j][3])
+                         for j, s in zip(keep, ps_kept)]
+            else:
+                keep = oks_nms(pk_all, ps_all, ar_all,
+                               threshold=nms_threshold, sigmas=sigmas,
+                               kscores=ks_all, vis_threshold=vis_threshold)
+                preds = [preds[j] for j in keep]
+        if results_path is not None:
+            for c, s, kscore, _a in preds:
+                kp = np.concatenate([c, np.asarray(kscore)[:, None]], -1)
+                results.append({
+                    "image_id": int(iid), "category_id": 1,
+                    "keypoints": [round(float(v), 3) for v in kp.reshape(-1)],
+                    "score": round(float(s), 5)})
         pk = (np.stack([p[0] for p in preds]) if preds
               else np.zeros((0, K, 2), np.float32))
         ps = np.asarray([p[1] for p in preds], np.float32)

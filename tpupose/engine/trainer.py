@@ -433,9 +433,13 @@ class Trainer:
                                     0.0),
             max_per_image=getattr(self.cfg.eval, "det_max_per_image", 100),
             udp=getattr(d, "udp", False))
-        out = evaluate_detections(self._get_evaluator(), ds,
-                                  batch_size=self.cfg.eval.batch_size,
-                                  num_workers=d.num_workers)
+        out = evaluate_detections(
+            self._get_evaluator(), ds,
+            batch_size=self.cfg.eval.batch_size,
+            num_workers=d.num_workers,
+            nms=getattr(self.cfg.eval, "det_nms", "oks"),
+            nms_threshold=getattr(self.cfg.eval, "det_nms_threshold", 0.9),
+            vis_threshold=getattr(self.cfg.eval, "det_vis_threshold", 0.2))
         return {f"det_{k}": v for k, v in out.items()}
 
     def train(self):
