@@ -1,0 +1,203 @@
+"""Bottom-up AE family: multi-person targets, push/pull loss values,
+grouping decode correctness, train-step learning, Trainer wiring."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_multi_person_heatmaps_max_composition():
+    """Two instances with the same joint type: the target is the max of
+    the two Gaussians, peaking at both locations."""
+    from tpupose.losses.ae import multi_person_heatmaps
+
+    K, H, W = 1, 32, 32
+    kpts = np.zeros((1, 2, K, 3), np.float32)
+    kpts[0, 0, 0] = (8 / W, 8 / H, 2)
+    kpts[0, 1, 0] = (24 / W, 24 / H, 2)
+    mask = np.ones((1, 2), np.float32)
+    t = np.asarray(multi_person_heatmaps(jnp.asarray(kpts),
+                                         jnp.asarray(mask), (H, W)))
+    assert t.shape == (1, H, W, K)
+    np.testing.assert_allclose(t[0, 8, 8, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(t[0, 24, 24, 0], 1.0, atol=1e-5)
+    # masked-out instance contributes nothing
+    mask2 = np.array([[1.0, 0.0]], np.float32)
+    t2 = np.asarray(multi_person_heatmaps(jnp.asarray(kpts),
+                                          jnp.asarray(mask2), (H, W)))
+    assert t2[0, 24, 24, 0] < 0.1
+
+
+def test_ae_grouping_loss_hand_computed():
+    """Constant per-person tags -> pull = 0; push = exp(-d^2/2) between
+    the two person means."""
+    from tpupose.losses.ae import ae_grouping_loss
+
+    H = W = 8
+    K, M = 2, 2
+    tags = np.zeros((1, H, W, K), np.float32)
+    # person 0 joints at (1,1),(2,2) tag 0; person 1 at (5,5),(6,6) tag 3
+    tags[0, 1, 1, 0] = 0.0
+    tags[0, 2, 2, 1] = 0.0
+    tags[0, 5, 5, 0] = 3.0
+    tags[0, 6, 6, 1] = 3.0
+    kpts = np.zeros((1, M, K, 3), np.float32)
+    kpts[0, 0, 0] = (1 / W, 1 / H, 2)
+    kpts[0, 0, 1] = (2 / W, 2 / H, 2)
+    kpts[0, 1, 0] = (5 / W, 5 / H, 2)
+    kpts[0, 1, 1] = (6 / W, 6 / H, 2)
+    mask = np.ones((1, M), np.float32)
+    pull, push = ae_grouping_loss(jnp.asarray(tags), jnp.asarray(kpts),
+                                  jnp.asarray(mask))
+    np.testing.assert_allclose(float(pull), 0.0, atol=1e-6)
+    np.testing.assert_allclose(float(push), math.exp(-9.0 / 2.0), rtol=1e-5)
+    # identical tags -> maximal push (= 1), nonzero only between persons
+    pull2, push2 = ae_grouping_loss(jnp.zeros((1, H, W, K)),
+                                    jnp.asarray(kpts), jnp.asarray(mask))
+    np.testing.assert_allclose(float(push2), 1.0, atol=1e-6)
+
+
+def test_decode_ae_groups_two_people():
+    """Perfect heatmaps + well-separated tags -> decode recovers both
+    instances with the right joint assignments."""
+    from tpupose.ops.ae_decode import decode_ae
+
+    K, H, W = 3, 48, 48
+    people = [  # (joints, tag)
+        ([(10, 12), (14, 16), (12, 20)], -2.0),
+        ([(30, 30), (34, 34), (32, 40)], 2.0),
+    ]
+    hm = np.zeros((1, K, H, W), np.float32)
+    tg = np.zeros((1, K, H, W), np.float32)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    for joints, tag in people:
+        for k, (x, y) in enumerate(joints):
+            g = np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / 8.0)
+            hm[0, k] = np.maximum(hm[0, k], g)
+            tg[0, k][g > 0.5] = tag
+    out = jax.device_get(decode_ae(jnp.asarray(hm), jnp.asarray(tg),
+                                   max_people=4, tag_threshold=1.0))
+    assert out["person_mask"][0].sum() == 2
+    got = []
+    for p in range(4):
+        if out["person_mask"][0, p]:
+            got.append([tuple(np.round(out["coords"][0, p, k]).astype(int))
+                        for k in range(K)])
+    want = [[(x, y) for x, y in joints] for joints, _ in people]
+    assert sorted(got) == sorted(want)
+    # all joints scored near 1
+    ps = out["person_scores"][0][out["person_mask"][0]]
+    assert (ps > 0.9).all()
+
+
+def test_decode_ae_single_person_no_spurious_groups():
+    from tpupose.ops.ae_decode import decode_ae
+
+    K, H, W = 2, 32, 32
+    hm = np.zeros((1, K, H, W), np.float32)
+    tg = np.zeros((1, K, H, W), np.float32)
+    hm[0, 0, 10, 10] = 1.0
+    hm[0, 1, 15, 15] = 1.0
+    out = jax.device_get(decode_ae(jnp.asarray(hm), jnp.asarray(tg),
+                                   max_people=6))
+    assert out["person_mask"][0].sum() == 1
+    assert tuple(out["coords"][0, 0, 0]) == (10.0, 10.0)
+    assert tuple(out["coords"][0, 0, 1]) == (15.0, 15.0)
+
+
+def test_bottom_up_train_step_learns():
+    import optax
+
+    from tpupose.engine.train_state import (create_train_state,
+                                            make_bottom_up_train_step)
+    from tpupose.losses.ae import ae_loss
+    from tpupose.models.bottom_up import BottomUpPose
+
+    m = BottomUpPose(backbone="resnet18", num_keypoints=3,
+                     deconv_channels=(64, 64, 64), dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    B, M, K = 2, 4, 3
+    kpts = np.zeros((B, M, K, 3), np.float32)
+    kpts[..., :2] = rng.uniform(0.2, 0.8, (B, M, K, 2))
+    kpts[..., 2] = 2.0
+    mask = np.zeros((B, M), np.float32)
+    mask[:, :2] = 1.0
+    batch = {
+        "images": rng.randint(0, 255, (B, 64, 64, 3)).astype(np.uint8),
+        "keypoints": jnp.asarray(kpts),
+        "instance_mask": jnp.asarray(mask),
+    }
+    import functools
+
+    loss_fn = functools.partial(ae_loss, sigma=1.5)
+    state = create_train_state(m, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), optax.adam(1e-3))
+    step = make_bottom_up_train_step(loss_fn)
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+    assert {"hm_loss", "pull", "push"} <= set(metrics)
+
+
+@pytest.mark.slow
+def test_bottom_up_trainer_wiring(tmp_path):
+    from tpupose.configs.default import default_config
+    from tpupose.engine.trainer import Trainer
+
+    cfg = default_config()
+    cfg.model.name = "bottom_up"
+    cfg.model.backbone = "resnet18"
+    cfg.model.num_keypoints = 4
+    cfg.model.deconv_channels = (64, 64, 64)
+    cfg.model.heatmap_size = (16, 16)
+    cfg.data.name = "synthetic_yolo"
+    cfg.data.image_size = (64, 64)
+    cfg.data.max_instances = 8
+    cfg.train.batch_size = 8
+    cfg.train.warmup_epochs = 0
+    cfg.train.mixed_precision = False
+    cfg.train.log_interval = 100
+    cfg.train.output_dir = str(tmp_path)
+    cfg.loss.name = "ae"
+    cfg.optimizer.name = "adam"
+    cfg.optimizer.lr = 1e-3
+    cfg.eval.metrics = ("oks_ap",)
+
+    tr = Trainer(cfg)
+    assert tr.family == "bottom_up"
+    l0 = tr.iter_one_epoch(0)
+    l1 = tr.iter_one_epoch(1)
+    assert np.isfinite(l1) and l1 < l0
+    v = tr.validate()
+    assert np.isfinite(v)
+    out = tr.evaluate()
+    assert "map" in {k.lower() for k in out} or any(
+        "ap" in k.lower() for k in out)
+
+
+def test_bottom_up_predictor_end_to_end():
+    """BottomUpPredictor: trunk forward + grouping in one program, coords
+    scaled back to input pixels."""
+    import optax
+
+    from tpupose.engine.predictor import BottomUpPredictor
+    from tpupose.engine.train_state import create_train_state
+    from tpupose.models.bottom_up import BottomUpPose
+
+    m = BottomUpPose(backbone="resnet18", num_keypoints=2,
+                     deconv_channels=(32, 32, 32), dtype=jnp.float32)
+    state = create_train_state(m, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), optax.sgd(0.0))
+    pred = BottomUpPredictor(state, max_people=4, score_threshold=-1e9)
+    out = pred(np.zeros((2, 64, 64, 3), np.uint8))
+    assert out["coords"].shape == (2, 4, 2, 2)
+    assert out["scores"].shape == (2, 4, 2)
+    assert out["person_mask"].shape == (2, 4)
+    # coords are in input pixels (4x the 16x16 grid)
+    assert float(out["coords"].max()) <= 64.0

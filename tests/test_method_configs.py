@@ -15,10 +15,10 @@ METHOD_DIR = os.path.join(os.path.dirname(__file__), "..",
 YAMLS = sorted(glob.glob(os.path.join(METHOD_DIR, "*.yaml")))
 
 KNOWN_MODELS = {"simple_baseline", "hrnet", "dinov3_pose", "deeppose",
-                "fcmae", "fskd", "simcc", "vitpose"}
+                "fcmae", "fskd", "simcc", "vitpose", "bottom_up"}
 KNOWN_LOSSES = {"joints_mse", "joints_mse_weighted", "pose_compute",
                 "coord_mse", "v8_pose", "fcmae", "fskd_episode", "simcc_kl",
-                "rle"}
+                "rle", "ae"}
 KNOWN_DATASETS = {"synthetic", "synthetic_yolo", "yolo_pose", "coco",
                   "mpii", "fewshot"}
 

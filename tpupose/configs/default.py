@@ -127,6 +127,9 @@ class EvalConfig:
     det_nms: str = "oks"
     det_nms_threshold: float = 0.9
     det_vis_threshold: float = 0.2
+    # bottom-up AE grouping decode (ops/ae_decode.py)
+    ae_score_threshold: float = 0.1
+    ae_tag_threshold: float = 1.0
     int8: bool = False                  # serve inference/eval with int8 PTQ
                                         # (ops/quant.py; calibrated on the
                                         # first batch seen)
@@ -145,6 +148,11 @@ class LossConfig:
     # rle (losses/rle.py): residual Q-term on/off and its distribution
     rle_residual: bool = True
     rle_q: str = "laplace"              # laplace | gaussian
+    # associative embedding (losses/ae.py, loss.name=ae): tag sigma of the
+    # push term and the Newell 1e-3 grouping weights
+    ae_tag_sigma: float = 1.0
+    ae_pull_weight: float = 1e-3
+    ae_push_weight: float = 1e-3
 
 
 @dataclass

@@ -63,6 +63,9 @@ class Builder:
             # the head must agree (same coupling precedent as v8/reg_max)
             return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
                        rle=(self.cfg.loss.name == "rle"), dtype=dtype)
+        if m.name == "bottom_up":
+            return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
+                       deconv_channels=tuple(m.deconv_channels), dtype=dtype)
         if m.name == "vitpose":
             return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
                        decoder=m.decoder,
@@ -119,6 +122,17 @@ class Builder:
             return functools.partial(rle_loss,
                                      residual=self.cfg.loss.rle_residual,
                                      q=self.cfg.loss.rle_q)
+        if name == "ae":
+            import functools
+
+            from tpupose.losses.ae import ae_loss
+
+            lc = self.cfg.loss
+            return functools.partial(
+                ae_loss, sigma=self.cfg.data.sigma,
+                tag_sigma=lc.ae_tag_sigma,
+                pull_weight=lc.ae_pull_weight,
+                push_weight=lc.ae_push_weight)
         if name == "simcc_kl":
             from tpupose.losses.simcc import simcc_kl_loss
 

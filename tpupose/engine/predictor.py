@@ -225,3 +225,54 @@ class YoloPosePredictor:
                 yield q.popleft().result()
         finally:
             pool.shutdown(wait=False)
+
+
+class BottomUpPredictor:
+    """Detector-free multi-person inference: full frames in, grouped
+    people out (models/bottom_up.py + ops/ae_decode.py).
+
+    One jitted program: normalize -> trunk forward -> per-joint peak
+    top-k -> greedy AE tag grouping; only the fixed-size person arrays
+    return to host. Coordinates are scaled from the stride-4 grid back to
+    input pixels on device.
+    """
+
+    def __init__(self, state, max_people: int = 30,
+                 score_threshold: float = 0.1, tag_threshold: float = 1.0,
+                 quant_scales=None):
+        from tpupose.models.bottom_up import BottomUpPose
+        from tpupose.ops.ae_decode import decode_ae
+        from tpupose.ops.preprocess import normalize_images
+        from tpupose.ops.quant import quantized_apply
+
+        self.state = state
+        scales_map = dict(quant_scales) if quant_scales else None
+
+        def infer(state, images):
+            H, W = images.shape[1:3]
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            if scales_map is not None:
+                pred = quantized_apply(state.apply_fn, variables, scales_map,
+                                       normalize_images(images), train=False)
+            else:
+                pred = state.apply_fn(variables, normalize_images(images),
+                                      train=False)
+            hm, tg = BottomUpPose.split(pred)
+            out = decode_ae(hm, tg, max_people=max_people,
+                            score_threshold=score_threshold,
+                            tag_threshold=tag_threshold)
+            stride = jnp.array([W / hm.shape[3], H / hm.shape[2]],
+                               jnp.float32)
+            out["coords"] = out["coords"] * stride
+            return out
+
+        self._step = jax.jit(infer)
+
+    calibrate_int8 = staticmethod(HeatmapPredictor.calibrate_int8)
+
+    def __call__(self, images):
+        """images: (B, H, W, 3) uint8 frames. Returns dict of fixed-size
+        arrays: coords (B, P, K, 2) input px, scores (B, P, K),
+        person_scores (B, P), person_mask (B, P)."""
+        return jax.device_get(self._step(self.state, jnp.asarray(images)))

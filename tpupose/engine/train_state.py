@@ -259,6 +259,38 @@ def make_regression_train_step(loss_fn):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_bottom_up_train_step(loss_fn):
+    """Train step for the bottom-up AE family (models/bottom_up.py).
+
+    batch: {"images": uint8 NHWC, "keypoints": (B, M, K, 3) normalized,
+            "instance_mask": (B, M)} — the same padded multi-instance
+    contract as the yolo family. Targets (multi-person Gaussians) and the
+    tag push/pull terms render inside the jitted step (losses/ae.ae_loss).
+    """
+    from tpupose.ops.preprocess import normalize_images
+
+    def train_step(state: TrainState, batch):
+        imgs = normalize_images(batch["images"])
+
+        def compute_loss(params):
+            pred, mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, train=True, mutable=["batch_stats"],
+            )
+            loss, parts = loss_fn(pred, batch["keypoints"],
+                                  batch["instance_mask"])
+            return loss, (mut.get("batch_stats", state.batch_stats), parts)
+
+        (loss, (new_bs, parts)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        metrics.update(parts)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
 def make_rle_train_step(loss_fn):
     """Train step for RLE coordinate regression (DeepPose(rle=True)).
 

@@ -81,6 +81,8 @@ class Trainer:
             self.family = "rle"
         elif cfg.loss.name == "simcc_kl":
             self.family = "simcc"
+        elif cfg.loss.name == "ae":
+            self.family = "bottom_up"
         else:
             self.family = "heatmap"
         self.loss_fn = self.builder.loss(self.model)
@@ -101,6 +103,20 @@ class Trainer:
                 return self.loss_fn(mu, sigma, log_phi, target, vis)
 
             self.val_step = jax.jit(_rle_val_step)
+        elif self.family == "bottom_up":
+            from tpupose.engine.train_state import make_bottom_up_train_step
+            from tpupose.ops.preprocess import normalize_images as _bu_norm
+
+            self.train_step = make_bottom_up_train_step(self.loss_fn)
+
+            def _bu_val_step(state, images, keypoints, instance_mask):
+                pred = state.apply_fn(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    _bu_norm(images), train=False)
+                loss, _ = self.loss_fn(pred, keypoints, instance_mask)
+                return loss
+
+            self.val_step = jax.jit(_bu_val_step)
         elif self.family == "yolo":
             self.train_step = make_yolo_train_step(self.loss_fn)
 
@@ -180,6 +196,10 @@ class Trainer:
             return self.mesh_mgr.shard_batch(
                 {k: batch[k] for k in
                  ("images", "boxes", "classes", "keypoints", "instance_mask")})
+        if self.family == "bottom_up":
+            return self.mesh_mgr.shard_batch(
+                {k: batch[k] for k in
+                 ("images", "keypoints", "instance_mask")})
         if self.family in ("regression", "rle"):
             Hh, Wh = self.cfg.model.heatmap_size
             dev = self.mesh_mgr.shard_batch(
@@ -263,7 +283,7 @@ class Trainer:
             if pm is not None and not bool(pm.all()):
                 m = jnp.asarray(pm.astype(np.float32))
                 db = dict(db)
-                if self.family == "yolo":
+                if self.family in ("yolo", "bottom_up"):
                     db["instance_mask"] = db["instance_mask"] * m[:, None]
                 elif self.family in ("regression", "rle"):
                     db["visibility"] = db["visibility"] * m[:, None]
@@ -271,6 +291,9 @@ class Trainer:
                     db["target_weight"] = db["target_weight"] * m[:, None]
             if self.family == "yolo":
                 loss = self.val_step(eval_state, db)
+            elif self.family == "bottom_up":
+                loss = self.val_step(eval_state, db["images"],
+                                     db["keypoints"], db["instance_mask"])
             elif self.family == "rle":
                 loss = self.val_step(eval_state, db["images"],
                                      db["target_coords"], db["visibility"])
@@ -393,6 +416,10 @@ class Trainer:
         real metric library, including COCO keypoint mAP). The simcc
         family runs the same pipeline through its fused 1D-bin evaluator
         (family='simcc' in _get_evaluator)."""
+        if self.family == "bottom_up":
+            out = self.evaluate_bottom_up()
+            printM("eval: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
+            return out
         if self.family not in ("heatmap", "simcc"):
             return {"val_loss": self.validate()}
         ev = self._get_evaluator()
@@ -404,6 +431,57 @@ class Trainer:
             out.update(self.evaluate_detections(det_file))
         printM("eval: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
         return out
+
+    def evaluate_bottom_up(self) -> dict:
+        """Detector-free multi-person eval: forward + AE grouping decode
+        in one jitted program per batch, scored by COCO OKS-AP against the
+        padded GT instances (losses/ae + ops/ae_decode)."""
+        from tpupose.metrics.oks_ap import OKSAP
+        from tpupose.models.bottom_up import BottomUpPose
+        from tpupose.ops.ae_decode import decode_ae
+        from tpupose.ops.preprocess import normalize_images
+
+        ecfg = self.cfg.eval
+        max_people = self.cfg.data.max_instances
+
+        @jax.jit
+        def _decode_step(state, images):
+            pred = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                normalize_images(images), train=False)
+            hm, tg = BottomUpPose.split(pred)
+            return decode_ae(
+                hm, tg, max_people=max_people,
+                score_threshold=getattr(ecfg, "ae_score_threshold", 0.1),
+                tag_threshold=getattr(ecfg, "ae_tag_threshold", 1.0))
+
+        H, W = self.cfg.data.image_size
+        Hh, Wh = self.cfg.model.heatmap_size
+        stride = np.array([W / Wh, H / Hh], np.float32)
+        ap = OKSAP(num_classes=1)
+        eval_state = self.state.for_eval()
+        n_img = 0
+        for batch in self.valid_loader:
+            pm = batch.get("pad_mask",
+                           np.ones(len(batch["images"]), bool))
+            out = jax.device_get(_decode_step(eval_state, batch["images"]))
+            kpts = np.asarray(batch["keypoints"])     # (B, M, K, 3) normalized
+            imask = np.asarray(batch["instance_mask"]) > 0
+            for i in range(len(batch["images"])):
+                if not pm[i]:
+                    continue
+                gt_px = kpts[i, :, :, :2] * np.array([W, H], np.float32)
+                gt_vis = kpts[i, :, :, 2]
+                span = (gt_px.max(axis=1) - gt_px.min(axis=1))
+                ap.update(out["coords"][i] * stride, out["person_scores"][i],
+                          gt_px, gt_vis, span[:, 0] * span[:, 1],
+                          pred_valid=np.asarray(out["person_mask"][i]),
+                          gt_valid=imask[i])
+                n_img += 1
+        res = ap.compute()
+        return {"val_loss": self.validate(),
+                **{k: float(v) for k, v in res.items()
+                   if isinstance(v, (int, float, np.floating))}}
 
     def evaluate_detections(self, det_file: str) -> dict:
         """Official COCO top-down protocol: crops from DETECTOR boxes
@@ -452,7 +530,7 @@ class Trainer:
                 printM(f"epoch {epoch}: val_loss={val_loss:.5f}")
                 self.file_log.log(f"epoch {epoch}: val_loss={val_loss:.5f}")
                 self.tb.add_scalar("val/loss", val_loss, int(self.state.step))
-                if (self.family in ("heatmap", "simcc")
+                if (self.family in ("heatmap", "simcc", "bottom_up")
                         and self.cfg.eval.run_metrics):
                     metrics = self.evaluate()
                     self.file_log.log(

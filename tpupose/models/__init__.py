@@ -7,6 +7,7 @@ from tpupose.models.deeppose import DeepPose
 from tpupose.models.backbones.hrnet import HRNetPose
 from tpupose.models.fcmae import FCMAE
 from tpupose.models.fskd import FSKD
+from tpupose.models.bottom_up import BottomUpPose
 from tpupose.models.simcc import SimCCPose
 from tpupose.models.vitpose import ViTPose
 from tpupose.models.heads import HeatmapHead, RegressionHead, ClassifyHead
@@ -22,6 +23,7 @@ MODELS = {
     "fskd": FSKD,
     "simcc": SimCCPose,
     "vitpose": ViTPose,
+    "bottom_up": BottomUpPose,
 }
 
 
@@ -38,6 +40,6 @@ def get_model(name: str):
 
 __all__ = ["MODELS", "register_model", "get_model",
            "SimpleBaseline", "DINOv3Pose", "DeepPose", "HRNetPose",
-           "FCMAE", "FSKD", "SimCCPose", "ViTPose",
+           "FCMAE", "FSKD", "SimCCPose", "ViTPose", "BottomUpPose",
            "HeatmapHead", "RegressionHead", "ClassifyHead",
            "Attention", "GatedAttention", "MetaSpace", "gaussian_pool"]
