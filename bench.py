@@ -205,6 +205,39 @@ def bench_vit_infer():
     return {"img_per_s": round(B / dt, 2)}
 
 
+def bench_bottom_up_infer():
+    """Detector-free multi-person: HRNet-W32 512^2 forward + AE grouping
+    decode (ops/ae_decode.py, 30-person budget) in one fused program —
+    whole frames in, grouped people out."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpupose.models.bottom_up import BottomUpPose
+    from tpupose.ops.ae_decode import decode_ae
+    from tpupose.ops.preprocess import normalize_images
+
+    B, S = 16, 512
+    model = BottomUpPose(backbone="hrnet_w32", num_keypoints=17,
+                         dtype=jnp.bfloat16)
+    imgs = np.random.randint(0, 256, (B, S, S, 3), np.uint8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           normalize_images(jnp.asarray(imgs[:1])),
+                           train=False)
+
+    @jax.jit
+    def step(images):
+        pred = model.apply(variables, normalize_images(images), train=False)
+        hm, tg = BottomUpPose.split(pred)
+        return decode_ae(hm, tg, max_people=30)
+
+    dev = jax.device_put(jnp.asarray(imgs))
+    probe = lambda r: np.asarray(r["person_scores"][:1])
+    dt = _steady_s(lambda: step(dev), probe)
+    return {"img_per_s": round(B / dt, 2),
+            "p50_ms_b1": round(_latency_p50(
+                lambda: step(dev[:1]), probe), 2)}
+
+
 # ---------------------------------------------------------------------------
 # config 2: R50 256x192 training (JointsMSE + in-step Gaussian targets +
 # on-device color jitter) — device step rate AND JPEG-on-disk pipeline rate
@@ -499,6 +532,7 @@ def main():
     if not quick:
         for name, fn in (("simcc_infer", bench_simcc_infer),
                          ("vit_s_640_infer", bench_vit_infer),
+                         ("bottom_up_w32_512_infer", bench_bottom_up_infer),
                          ("r50_train", bench_r50_train),
                          ("hrnet_w32_train", bench_hrnet_w32_train),
                          ("hrnet_w48_eval", bench_hrnet_w48_eval),

@@ -201,3 +201,22 @@ def test_bottom_up_predictor_end_to_end():
     assert out["person_mask"].shape == (2, 4)
     # coords are in input pixels (4x the 16x16 grid)
     assert float(out["coords"].max()) <= 64.0
+
+
+def test_decode_ae_quarter_offset_refine():
+    """An asymmetric peak (higher right neighbor) shifts +0.25 px toward
+    it; a symmetric peak does not move."""
+    from tpupose.ops.ae_decode import decode_ae
+
+    hm = np.zeros((1, 1, 16, 16), np.float32)
+    tg = np.zeros((1, 1, 16, 16), np.float32)
+    hm[0, 0, 8, 8] = 1.0
+    hm[0, 0, 8, 9] = 0.6   # right neighbor higher than left (0)
+    hm[0, 0, 7, 8] = 0.3
+    hm[0, 0, 9, 8] = 0.3   # vertical symmetric
+    out = jax.device_get(decode_ae(jnp.asarray(hm), jnp.asarray(tg),
+                                   max_people=2))
+    np.testing.assert_allclose(out["coords"][0, 0, 0], [8.25, 8.0])
+    out2 = jax.device_get(decode_ae(jnp.asarray(hm), jnp.asarray(tg),
+                                    max_people=2, refine=False))
+    np.testing.assert_allclose(out2["coords"][0, 0, 0], [8.0, 8.0])

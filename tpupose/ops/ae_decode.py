@@ -45,7 +45,8 @@ def find_peaks(heatmaps, max_people: int):
 
 
 def decode_ae(heatmaps, tags, max_people: int = 8,
-              score_threshold: float = 0.1, tag_threshold: float = 1.0):
+              score_threshold: float = 0.1, tag_threshold: float = 1.0,
+              refine: bool = True):
     """Group per-joint peaks into people by tag distance.
 
     heatmaps, tags: (B, K, H, W) fp32 (same NKHW convention as
@@ -59,6 +60,20 @@ def decode_ae(heatmaps, tags, max_people: int = 8,
     coords, scores, idx = find_peaks(heatmaps, P)
     tflat = tags.reshape(B, K, H * W)
     tagv = jnp.take_along_axis(tflat, idx, axis=2)           # (B, K, P)
+    if refine:
+        # quarter-offset toward the higher neighbor (the classic sub-pixel
+        # rule, same as ops/decode.quarter_offset_refine for top-down)
+        xi, yi = idx % W, idx // W
+        hflat = heatmaps.reshape(B, K, H * W)
+
+        def _at(xj, yj):
+            return jnp.take_along_axis(hflat, yj * W + xj, axis=2)
+
+        dx = jnp.sign(_at(jnp.minimum(xi + 1, W - 1), yi)
+                      - _at(jnp.maximum(xi - 1, 0), yi))
+        dy = jnp.sign(_at(xi, jnp.minimum(yi + 1, H - 1))
+                      - _at(xi, jnp.maximum(yi - 1, 0)))
+        coords = coords + 0.25 * jnp.stack([dx, dy], axis=-1)
 
     def joint_step(state, inp):
         g_tag_sum, g_cnt = state
