@@ -46,3 +46,35 @@ def test_run_inference_writes_renders(tmp_path):
     run_inference(cfg, str(imgs), str(out_q))
     for n in names:
         assert os.path.exists(out_q / n)
+
+
+@pytest.mark.slow
+def test_run_inference_bottom_up(tmp_path):
+    """model.name=bottom_up dispatches to the detector-free predictor and
+    renders people at the original resolution (int8 path included)."""
+    imgs = tmp_path / "imgs"
+    out = tmp_path / "viz"
+    imgs.mkdir()
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (80, 100, 3)).astype(np.uint8)
+                    ).save(imgs / "a.jpg")
+
+    from tpupose.cli.test import run_inference
+    from tpupose.configs.default import Config
+
+    cfg = Config()
+    cfg.model.name = "bottom_up"
+    cfg.model.backbone = "resnet18"
+    cfg.model.deconv_channels = (32, 32, 32)
+    cfg.model.num_keypoints = 4
+    cfg.data.image_size = [64, 64]
+    cfg.data.max_instances = 6
+    cfg.train.mixed_precision = False
+    run_inference(cfg, str(imgs), str(out))
+    assert os.path.exists(out / "a.jpg")
+    assert Image.open(out / "a.jpg").size == (100, 80)
+
+    out_q = tmp_path / "viz_int8"
+    cfg.eval.int8 = True
+    run_inference(cfg, str(imgs), str(out_q))
+    assert os.path.exists(out_q / "a.jpg")

@@ -23,6 +23,12 @@ from tpupose.utils.logging import printS, printT, printW
 # (HPE/test.py:189-277 draw_detections)
 DEFAULT_SKELETON_4 = ((0, 1), (1, 2), (2, 3), (3, 0))
 
+# COCO-17 person skeleton (limbs by keypoint index)
+COCO_SKELETON_17 = ((15, 13), (13, 11), (16, 14), (14, 12), (11, 12),
+                    (5, 11), (6, 12), (5, 6), (5, 7), (6, 8), (7, 9),
+                    (8, 10), (1, 2), (0, 1), (0, 2), (1, 3), (2, 4),
+                    (3, 5), (4, 6))
+
 
 def draw_detections(image, keypoints, scores, valid, skeleton=None, radius=3):
     """Pure-NumPy renderer: dots + skeleton lines onto an RGB uint8 image."""
@@ -30,7 +36,8 @@ def draw_detections(image, keypoints, scores, valid, skeleton=None, radius=3):
     H, W = img.shape[:2]
     K = keypoints.shape[1]
     if skeleton is None:
-        skeleton = DEFAULT_SKELETON_4 if K == 4 else ()
+        skeleton = (DEFAULT_SKELETON_4 if K == 4
+                    else COCO_SKELETON_17 if K == 17 else ())
 
     def dot(x, y, color):
         x, y = int(round(x)), int(round(y))
@@ -90,14 +97,48 @@ def run_inference(cfg, images_dir: str, output_dir: str, weights: str = ""):
 
     # eval.int8: quantized serving (ops/quant.py) calibrated on the first
     # image of the run
+    bottom_up = cfg.model.name == "bottom_up"
     quant_scales = None
     if cfg.eval.int8 and paths:
         from PIL import Image as _Image
 
+        from tpupose.engine.predictor import BottomUpPredictor
+
         first = np.asarray(_Image.open(paths[0]).convert("RGB")
                            .resize((W, H)), np.uint8)[None]
-        quant_scales = YoloPosePredictor.calibrate_int8(state, first)
+        calib = (BottomUpPredictor if bottom_up
+                 else YoloPosePredictor).calibrate_int8
+        quant_scales = calib(state, first)
         printT(f"int8 serving: calibrated {len(quant_scales)} layers")
+
+    if bottom_up:
+        # detector-free multi-person: forward + AE grouping in one program
+        from PIL import Image as _Image
+
+        from tpupose.engine.predictor import BottomUpPredictor
+
+        predictor = BottomUpPredictor(
+            state, max_people=cfg.data.max_instances,
+            score_threshold=getattr(cfg.eval, "ae_score_threshold", 0.1),
+            tag_threshold=getattr(cfg.eval, "ae_tag_threshold", 1.0),
+            quant_scales=quant_scales)
+        for p in paths:
+            pil = _Image.open(p).convert("RGB")
+            arr = np.asarray(pil.resize((W, H)), np.uint8)
+            out = predictor(arr[None])
+            w0, h0 = pil.size
+            kp = np.concatenate(
+                [out["coords"][0] * [w0 / W, h0 / H],
+                 out["scores"][0][..., None]], axis=-1)
+            img = draw_detections(np.asarray(pil, np.uint8), kp,
+                                  out["person_scores"][0],
+                                  out["person_mask"][0])
+            out_path = os.path.join(output_dir, os.path.basename(p))
+            _Image.fromarray(img).save(out_path)
+            printT(f"{p}: {int(out['person_mask'][0].sum())} people "
+                   f"-> {out_path}")
+        printS(f"processed {len(paths)} images")
+        return
 
     # forward (+ kpt-extent or DFL boxes) + on-device NMS is ONE compiled
     # program with a single host fetch (engine/predictor.py) — the
