@@ -205,6 +205,39 @@ def bench_vit_infer():
     return {"img_per_s": round(B / dt, 2)}
 
 
+def bench_vitpose_infer():
+    """ViTPose-S 256x192 e2e (forward + fused DARK decode): the plain-ViT
+    top-down family on the graded protocol — 192 tokens through the
+    Pallas flash-attention blocks + classic deconv decoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpupose.models.vitpose import ViTPose
+    from tpupose.ops.decode import decode_heatmaps
+    from tpupose.ops.preprocess import normalize_images
+
+    B, H, W = 128, 256, 192
+    model = ViTPose(backbone="vit_small", num_keypoints=17,
+                    dtype=jnp.bfloat16)
+    imgs = np.random.randint(0, 256, (B, H, W, 3), np.uint8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           normalize_images(jnp.asarray(imgs[:1])),
+                           train=False)
+
+    @jax.jit
+    def step(images):
+        hm = model.apply(variables, normalize_images(images), train=False)
+        return decode_heatmaps(jnp.transpose(hm, (0, 3, 1, 2)),
+                               method="dark")
+
+    dev = jax.device_put(jnp.asarray(imgs))
+    probe = lambda r: np.asarray(r[1][:1])
+    dt = _steady_s(lambda: step(dev), probe)
+    return {"img_per_s": round(B / dt, 2),
+            "p50_ms_b1": round(_latency_p50(
+                lambda: step(dev[:1]), probe), 2)}
+
+
 def bench_bottom_up_infer():
     """Detector-free multi-person: HRNet-W32 512^2 forward + AE grouping
     decode (ops/ae_decode.py, 30-person budget) in one fused program —
@@ -532,6 +565,7 @@ def main():
     if not quick:
         for name, fn in (("simcc_infer", bench_simcc_infer),
                          ("vit_s_640_infer", bench_vit_infer),
+                         ("vitpose_s_256_infer", bench_vitpose_infer),
                          ("bottom_up_w32_512_infer", bench_bottom_up_infer),
                          ("r50_train", bench_r50_train),
                          ("hrnet_w32_train", bench_hrnet_w32_train),
