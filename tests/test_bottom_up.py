@@ -220,3 +220,23 @@ def test_decode_ae_quarter_offset_refine():
     out2 = jax.device_get(decode_ae(jnp.asarray(hm), jnp.asarray(tg),
                                     max_people=2, refine=False))
     np.testing.assert_allclose(out2["coords"][0, 0, 0], [8.0, 8.0])
+
+
+def test_bottom_up_predictor_flip_test():
+    """flip_test path compiles and, for mirror-symmetric input + no
+    pairs, changes nothing structurally (shapes, mask dtype)."""
+    import optax
+
+    from tpupose.engine.predictor import BottomUpPredictor
+    from tpupose.engine.train_state import create_train_state
+    from tpupose.models.bottom_up import BottomUpPose
+
+    m = BottomUpPose(backbone="resnet18", num_keypoints=2,
+                     deconv_channels=(32, 32, 32), dtype=jnp.float32)
+    state = create_train_state(m, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), optax.sgd(0.0))
+    pred = BottomUpPredictor(state, max_people=3, flip_test=True,
+                             flip_pairs=np.array([[0, 1]]))
+    out = pred(np.zeros((1, 64, 64, 3), np.uint8))
+    assert out["coords"].shape == (1, 3, 2, 2)
+    assert out["person_mask"].dtype == bool

@@ -239,26 +239,42 @@ class BottomUpPredictor:
 
     def __init__(self, state, max_people: int = 30,
                  score_threshold: float = 0.1, tag_threshold: float = 1.0,
-                 quant_scales=None):
+                 quant_scales=None, flip_test: bool = False,
+                 flip_pairs=None):
+        """flip_test mirror-averages heatmaps (joints swapped by
+        flip_pairs); tags stay from the direct pass — a flipped forward
+        embeds in a different tag space."""
+        import numpy as _np
+
         from tpupose.models.bottom_up import BottomUpPose
         from tpupose.ops.ae_decode import decode_ae
+        from tpupose.ops.decode import flip_back
         from tpupose.ops.preprocess import normalize_images
         from tpupose.ops.quant import quantized_apply
 
         self.state = state
         scales_map = dict(quant_scales) if quant_scales else None
+        pairs = _np.asarray(flip_pairs if flip_pairs is not None
+                            else _np.zeros((0, 2), _np.int64))
 
         def infer(state, images):
             H, W = images.shape[1:3]
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
-            if scales_map is not None:
-                pred = quantized_apply(state.apply_fn, variables, scales_map,
-                                       normalize_images(images), train=False)
-            else:
-                pred = state.apply_fn(variables, normalize_images(images),
+
+            def fwd(x):
+                if scales_map is not None:
+                    return quantized_apply(state.apply_fn, variables,
+                                           scales_map, normalize_images(x),
+                                           train=False)
+                return state.apply_fn(variables, normalize_images(x),
                                       train=False)
+
+            pred = fwd(images)
             hm, tg = BottomUpPose.split(pred)
+            if flip_test:
+                hm_f, _ = BottomUpPose.split(fwd(images[:, :, ::-1]))
+                hm = 0.5 * (hm + flip_back(hm_f, pairs))
             out = decode_ae(hm, tg, max_people=max_people,
                             score_threshold=score_threshold,
                             tag_threshold=tag_threshold)

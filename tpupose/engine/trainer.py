@@ -441,15 +441,31 @@ class Trainer:
         from tpupose.ops.ae_decode import decode_ae
         from tpupose.ops.preprocess import normalize_images
 
+        from tpupose.ops.decode import flip_back
+
         ecfg = self.cfg.eval
         max_people = self.cfg.data.max_instances
+        # flip-test: mirror-average the heatmaps (left/right joints
+        # swapped via the dataset's flip pairs); tags come from the direct
+        # pass — a flipped forward embeds in a different tag space, so
+        # they don't average
+        flip_test = bool(getattr(ecfg, "flip_test", False))
+        pairs = np.asarray(getattr(self.valid_loader.dataset, "flip_pairs",
+                                   np.zeros((0, 2), np.int64)))
 
         @jax.jit
         def _decode_step(state, images):
-            pred = state.apply_fn(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                normalize_images(images), train=False)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            pred = state.apply_fn(variables, normalize_images(images),
+                                  train=False)
             hm, tg = BottomUpPose.split(pred)
+            if flip_test:
+                pred_f = state.apply_fn(
+                    variables, normalize_images(images[:, :, ::-1]),
+                    train=False)
+                hm_f, _ = BottomUpPose.split(pred_f)
+                hm = 0.5 * (hm + flip_back(hm_f, pairs))
             return decode_ae(
                 hm, tg, max_people=max_people,
                 score_threshold=getattr(ecfg, "ae_score_threshold", 0.1),
