@@ -256,6 +256,9 @@ class BottomUpPredictor:
         scales_map = dict(quant_scales) if quant_scales else None
         pairs = _np.asarray(flip_pairs if flip_pairs is not None
                             else _np.zeros((0, 2), _np.int64))
+        # without flip pairs, mirroring would average each joint channel
+        # with its contralateral location — refuse silently-wrong results
+        flip_test = flip_test and len(pairs) > 0
 
         def infer(state, images):
             H, W = images.shape[1:3]

@@ -94,7 +94,6 @@ class Trainer:
             from tpupose.ops.preprocess import normalize_images as _norm
 
             self.train_step = make_rle_train_step(self.loss_fn)
-            self.eval_step = make_heatmap_eval_step()  # returns (mu, sigma)
 
             def _rle_val_step(state, images, target, vis):
                 mu, sigma, log_phi = state.apply_fn(
@@ -443,28 +442,57 @@ class Trainer:
 
         from tpupose.ops.decode import flip_back
 
+        import itertools
+
         ecfg = self.cfg.eval
         max_people = self.cfg.data.max_instances
         # flip-test: mirror-average the heatmaps (left/right joints
         # swapped via the dataset's flip pairs); tags come from the direct
         # pass — a flipped forward embeds in a different tag space, so
-        # they don't average
-        flip_test = bool(getattr(ecfg, "flip_test", False))
+        # they don't average. Without flip pairs (yolo-format datasets
+        # carry no joint-order convention) mirroring would average each
+        # joint channel with its contralateral location — disabled.
         pairs = np.asarray(getattr(self.valid_loader.dataset, "flip_pairs",
                                    np.zeros((0, 2), np.int64)))
+        flip_test = bool(getattr(ecfg, "flip_test", False)) and len(pairs) > 0
+
+        # eval.int8: quantized serving path, scales calibrated against the
+        # current weights on the first eval batch (same policy as the
+        # heatmap family's evaluator rebuild)
+        batches = iter(self.valid_loader)
+        eval_state = self.state.for_eval()
+        scales_map = None
+        if getattr(ecfg, "int8", False):
+            try:
+                first = next(batches)
+            except StopIteration:
+                first = None
+            batches = itertools.chain([first] if first is not None else [],
+                                      batches)
+            if first is not None:
+                from tpupose.engine.predictor import BottomUpPredictor
+
+                scales_map = BottomUpPredictor.calibrate_int8(
+                    eval_state, np.asarray(first["images"]))
 
         @jax.jit
         def _decode_step(state, images):
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
-            pred = state.apply_fn(variables, normalize_images(images),
-                                  train=False)
-            hm, tg = BottomUpPose.split(pred)
+
+            def fwd(x):
+                if scales_map is not None:
+                    from tpupose.ops.quant import quantized_apply
+
+                    return quantized_apply(state.apply_fn, variables,
+                                           scales_map, normalize_images(x),
+                                           train=False)
+                return state.apply_fn(variables, normalize_images(x),
+                                      train=False)
+
+            hm, tg = BottomUpPose.split(fwd(images))
             if flip_test:
-                pred_f = state.apply_fn(
-                    variables, normalize_images(images[:, :, ::-1]),
-                    train=False)
-                hm_f, _ = BottomUpPose.split(pred_f)
+                hm_f, _ = BottomUpPose.split(fwd(images[:, :, ::-1]))
                 hm = 0.5 * (hm + flip_back(hm_f, pairs))
             return decode_ae(
                 hm, tg, max_people=max_people,
@@ -475,9 +503,7 @@ class Trainer:
         Hh, Wh = self.cfg.model.heatmap_size
         stride = np.array([W / Wh, H / Hh], np.float32)
         ap = OKSAP(num_classes=1)
-        eval_state = self.state.for_eval()
-        n_img = 0
-        for batch in self.valid_loader:
+        for batch in batches:
             pm = batch.get("pad_mask",
                            np.ones(len(batch["images"]), bool))
             out = jax.device_get(_decode_step(eval_state, batch["images"]))
@@ -488,16 +514,22 @@ class Trainer:
                     continue
                 gt_px = kpts[i, :, :, :2] * np.array([W, H], np.float32)
                 gt_vis = kpts[i, :, :, 2]
-                span = (gt_px.max(axis=1) - gt_px.min(axis=1))
+                # bbox span over LABELED joints only — occluded joints sit
+                # at (0, 0) in yolo labels and would anchor the box at the
+                # origin, inflating the OKS area
+                v = (gt_vis > 0)[..., None]
+                hi = np.where(v, gt_px, -np.inf).max(axis=1)
+                lo = np.where(v, gt_px, np.inf).min(axis=1)
+                span = np.nan_to_num(hi - lo, posinf=0.0, neginf=0.0)
                 ap.update(out["coords"][i] * stride, out["person_scores"][i],
                           gt_px, gt_vis, span[:, 0] * span[:, 1],
                           pred_valid=np.asarray(out["person_mask"][i]),
                           gt_valid=imask[i])
-                n_img += 1
         res = ap.compute()
-        return {"val_loss": self.validate(),
-                **{k: float(v) for k, v in res.items()
-                   if isinstance(v, (int, float, np.floating))}}
+        # val_loss intentionally not recomputed here: train() runs
+        # validate() right before evaluate() (same as the other families)
+        return {k: float(v) for k, v in res.items()
+                if isinstance(v, (int, float, np.floating))}
 
     def evaluate_detections(self, det_file: str) -> dict:
         """Official COCO top-down protocol: crops from DETECTOR boxes

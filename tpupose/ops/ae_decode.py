@@ -73,6 +73,11 @@ def decode_ae(heatmaps, tags, max_people: int = 8,
                       - _at(jnp.maximum(xi - 1, 0), yi))
         dy = jnp.sign(_at(xi, jnp.minimum(yi + 1, H - 1))
                       - _at(xi, jnp.maximum(yi - 1, 0)))
+        # border guard (same rule as ops/decode.quarter_offset_refine):
+        # clamped neighbors alias the peak at the map edge, which would
+        # shift border joints off-grid
+        dx = dx * ((xi > 0) & (xi < W - 1))
+        dy = dy * ((yi > 0) & (yi < H - 1))
         coords = coords + 0.25 * jnp.stack([dx, dy], axis=-1)
 
     def joint_step(state, inp):
