@@ -240,3 +240,86 @@ def test_bottom_up_predictor_flip_test():
     out = pred(np.zeros((1, 64, 64, 3), np.uint8))
     assert out["coords"].shape == (1, 3, 2, 2)
     assert out["person_mask"].dtype == bool
+
+
+@pytest.mark.slow
+def test_bottom_up_training_localizes_and_groups():
+    """The full objective learns real multi-person localization, not just
+    loss descent: after a few hundred memorization steps on two fixed
+    batches, AE-grouped decode scores well above chance on OKS-AP.
+
+    Lenient OKS sigmas are used because the toy persons span only
+    ~10-18 px (area ~150 px^2): with the COCO sigmas a single heatmap
+    cell of quantization error (4 input px at stride 4) already drives
+    OKS to ~0, so chance and perfect predictions would be
+    indistinguishable at this scale.
+    """
+    import functools
+
+    import optax
+
+    from tpupose.engine.train_state import (create_train_state,
+                                            make_bottom_up_train_step)
+    from tpupose.losses.ae import ae_loss
+    from tpupose.metrics.oks_ap import OKSAP
+    from tpupose.models.bottom_up import BottomUpPose
+    from tpupose.ops.ae_decode import decode_ae
+    from tpupose.ops.preprocess import normalize_images
+
+    rng = np.random.RandomState(0)
+    B, M, K, S = 8, 2, 2, 64
+    ys, xs = np.mgrid[0:S, 0:S].astype(np.float32)
+
+    def make_batch(seed):
+        r = np.random.RandomState(seed)
+        imgs = np.zeros((B, S, S, 3), np.float32)
+        kpts = np.zeros((B, M, K, 3), np.float32)
+        for b in range(B):
+            # two persons in opposite halves: separable by location-
+            # correlated tags
+            for m_, x0 in enumerate((0.25, 0.75)):
+                cx = np.clip(x0 + r.uniform(-0.1, 0.1), 0.15, 0.85)
+                cy = r.uniform(0.3, 0.7)
+                for k in range(K):
+                    kx = np.clip(cx + r.uniform(-0.08, 0.08), 0.02, 0.98)
+                    ky = np.clip(cy + r.uniform(-0.08, 0.08), 0.02, 0.98)
+                    kpts[b, m_, k] = (kx, ky, 2.0)
+                    d2 = (xs - kx * S) ** 2 + (ys - ky * S) ** 2
+                    imgs[b, :, :, k] += 255.0 * np.exp(-d2 / 18.0)
+        return {"images": np.clip(imgs, 0, 255).astype(np.uint8),
+                "keypoints": jnp.asarray(kpts),
+                "instance_mask": jnp.ones((B, M), jnp.float32)}
+
+    batches = [make_batch(1), make_batch(2)]
+    model = BottomUpPose(backbone="resnet18", num_keypoints=K,
+                         deconv_channels=(64, 64, 64), dtype=jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)),
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-3)))
+    step = make_bottom_up_train_step(functools.partial(ae_loss, sigma=1.5))
+    for it in range(180):
+        state, met = step(state, batches[it % 2])
+    assert np.isfinite(float(met["loss"]))
+
+    @jax.jit
+    def dec(state, images):
+        pred = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            normalize_images(images), train=False)
+        hm, tg = BottomUpPose.split(pred)
+        return decode_ae(hm, tg, max_people=M)
+
+    ap = OKSAP(num_classes=1, sigmas=np.full(K, 0.5, np.float32))
+    for b in batches:
+        out = jax.device_get(dec(state, jnp.asarray(b["images"])))
+        kp = np.asarray(b["keypoints"])
+        for i in range(B):
+            gt = kp[i, :, :, :2] * S
+            vis = kp[i, :, :, 2]
+            span = gt.max(axis=1) - gt.min(axis=1)
+            ap.update(out["coords"][i] * (S / 16.0),
+                      out["person_scores"][i], gt, vis,
+                      np.maximum(span[:, 0] * span[:, 1], 1.0),
+                      pred_valid=np.asarray(out["person_mask"][i]))
+    res = ap.compute()
+    assert res["mAP50"] > 0.3, res
