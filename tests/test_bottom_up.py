@@ -323,3 +323,36 @@ def test_bottom_up_training_localizes_and_groups():
                       pred_valid=np.asarray(out["person_mask"][i]))
     res = ap.compute()
     assert res["mAP50"] > 0.3, res
+
+
+def test_sigterm_saves_resumable_checkpoint(tmp_path):
+    """SIGTERM inside train()'s signal guard saves a checkpoint before
+    exit (preemption recovery, SURVEY.md §5.3)."""
+    import os as _os
+    import signal as _signal
+
+    from tpupose.configs.default import default_config
+    from tpupose.engine.trainer import Trainer
+
+    cfg = default_config()
+    cfg.model.name = "deeppose"
+    cfg.model.backbone = "resnet18"
+    cfg.model.num_keypoints = 2
+    cfg.model.heatmap_size = (16, 16)
+    cfg.data.name = "synthetic"
+    cfg.data.image_size = (32, 32)
+    cfg.train.batch_size = 8
+    cfg.train.mixed_precision = False
+    cfg.train.output_dir = str(tmp_path)
+    cfg.loss.name = "coord_mse"
+
+    tr = Trainer(cfg)
+    with pytest.raises(SystemExit) as exc:
+        with tr._checkpoint_on_signal():
+            _os.kill(_os.getpid(), _signal.SIGTERM)
+    assert exc.value.code == 128 + _signal.SIGTERM
+    # the saved checkpoint restores
+    step = tr.load_checkpoint()
+    assert step == int(tr.state.step)
+    # handlers restored to their previous disposition
+    assert _signal.getsignal(_signal.SIGTERM) is not None

@@ -571,7 +571,41 @@ class Trainer:
     def train(self):
         cfg = self.cfg.train
         start_epoch = int(self.state.step) // self.steps_per_epoch
-        for epoch in range(start_epoch, cfg.epochs):
+        with self._checkpoint_on_signal():
+            self._train_epochs(start_epoch, cfg.epochs)
+
+    def _checkpoint_on_signal(self):
+        """SIGTERM/SIGINT during train() saves a resumable checkpoint
+        before exiting — the TPU-pod preemption story (the reference's
+        handlers only tear the process group down, HPE/utils/dist.py:64-67;
+        here the checkpoint IS the recovery path, SURVEY.md §5.3)."""
+        import contextlib
+        import signal as _signal
+
+        @contextlib.contextmanager
+        def guard():
+            def handler(signum, frame):
+                printM(f"signal {signum}: saving checkpoint @ step "
+                       f"{int(self.state.step)} before exit")
+                self.ckpt.save(int(self.state.step), self.state, force=True)
+                raise SystemExit(128 + signum)
+
+            prev = {}
+            for sig in (_signal.SIGTERM, _signal.SIGINT):
+                try:
+                    prev[sig] = _signal.signal(sig, handler)
+                except (ValueError, OSError):  # non-main thread
+                    pass
+            try:
+                yield
+            finally:
+                for sig, old in prev.items():
+                    _signal.signal(sig, old)
+
+        return guard()
+
+    def _train_epochs(self, start_epoch: int, epochs: int):
+        for epoch in range(start_epoch, epochs):
             train_loss = self.iter_one_epoch(epoch)
             if (epoch + 1) % self.cfg.eval.interval == 0:
                 val_loss = self.validate()
