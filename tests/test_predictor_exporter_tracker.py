@@ -194,3 +194,27 @@ def test_export_cli_int8_program(tmp_path):
     # the exported bytes really contain an int8 program
     text = open(out + ".stablehlo", "rb").read()
     assert b"i8" in text
+
+
+def test_export_cli_bottom_up_family(tmp_path):
+    """loss.name=ae routes export to the bottom-up fused forward+grouping
+    program (frames in, grouped people out)."""
+    from tpupose.cli.export import main
+    from tpupose.engine.exporter import load_stablehlo
+
+    out = str(tmp_path / "bu")
+    main(["--cfg", "tpupose/configs/method/bottom_up_w32.yaml",
+          "model.backbone=resnet18", "model.deconv_channels=[32,32,32]",
+          "model.num_keypoints=3", "model.heatmap_size=[16,16]",
+          "data.image_size=[64,64]", "data.max_instances=5",
+          "train.mixed_precision=false",
+          f"out={out}", "format=stablehlo", "batch=2"])
+
+    call = load_stablehlo(out + ".stablehlo")
+    imgs = np.random.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    got = call(imgs)
+    import jax
+
+    shapes = sorted(tuple(np.asarray(g).shape)
+                    for g in jax.tree_util.tree_leaves(got))
+    assert sorted([(2, 5, 3, 2), (2, 5), (2, 5), (2, 5, 3)]) == shapes

@@ -68,7 +68,8 @@ def export_model(cfg, out: str, fmt: str = "both", batch: int = 8,
 
         is_yolo = cfg.loss.name in ("pose_compute", "v8_pose")
         cal = (YoloPosePredictor if is_yolo else HeatmapPredictor)
-        qscales = cal.calibrate_int8(state, cimgs)
+        qscales = cal.calibrate_int8(state, cimgs)  # same normalize for
+        # the bottom-up family (HeatmapPredictor.calibrate_int8 is shared)
         printS(f"int8 export: calibrated {len(qscales)} layers")
 
     written = []
@@ -77,9 +78,20 @@ def export_model(cfg, out: str, fmt: str = "both", batch: int = 8,
     if fmt in ("stablehlo", "both"):
         family = ("yolo" if cfg.loss.name in ("pose_compute", "v8_pose")
                   else "simcc" if cfg.loss.name == "simcc_kl"
+                  else "bottom_up" if cfg.loss.name == "ae"
                   else "heatmap")
         imgs = np.zeros((batch, H, W, 3), np.uint8)
-        if family == "yolo":
+        if family == "bottom_up":
+            from tpupose.engine.predictor import BottomUpPredictor
+
+            pred = BottomUpPredictor(
+                state, max_people=cfg.data.max_instances,
+                score_threshold=getattr(cfg.eval, "ae_score_threshold", 0.1),
+                tag_threshold=getattr(cfg.eval, "ae_tag_threshold", 1.0),
+                quant_scales=qscales)
+            fn = lambda images: pred._step(state, images)
+            example = (imgs,)
+        elif family == "yolo":
             from tpupose.engine.predictor import YoloPosePredictor
 
             pred = YoloPosePredictor(
