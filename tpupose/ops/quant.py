@@ -19,9 +19,14 @@ Design — generic over every Flax model in the zoo, no per-model code:
 - weights: per-output-channel symmetric int8 (max-abs scaling).
 - activations: per-tensor symmetric int8; scales come from a max-abs
   *calibration* pass (`calibrate`) over representative batches.
-- everything else — BatchNorm, relu, residual adds, ConvTranspose
-  deconvs, pooling, the DARK decode — stays in bf16/fp32: those are
-  bandwidth-bound and accuracy-critical, not MXU-bound.
+- `nn.ConvTranspose` deconvs (the SimpleBaseline/ViTPose head, ~half the
+  R50 head FLOPs) quantize too, via an lhs-dilated int8 conv (measured
+  ~+1-2% e2e on R50 — the dilated form doesn't reach the dense conv's
+  int8 rate, but it removes the bf16 island; keypoint decode stays
+  within 1 px, tests/test_quant.py).
+- everything else — BatchNorm, relu, residual adds, pooling, the DARK
+  decode — stays in bf16/fp32: those are bandwidth-bound and
+  accuracy-critical, not MXU-bound.
 - convs the MXU cannot profitably run in int8 (grouped/depthwise,
   dilated, masked) silently fall back to the module's own bf16 path, so
   ConvNeXt/HRNet quantize their 1x1/3x3 dense convs and keep depthwise
@@ -75,6 +80,14 @@ def _conv_padding(mod: nn.Conv):
 def _quantizable(mod) -> bool:
     if isinstance(mod, nn.Dense):
         return True
+    if isinstance(mod, nn.ConvTranspose):
+        # the SimpleBaseline/ViTPose deconv stack: ~half the R50 head
+        # FLOPs; lowers to an lhs-dilated int8 conv on the MXU
+        return (len(mod.kernel_size) == 2
+                and not mod.transpose_kernel
+                and _pair(mod.kernel_dilation) == (1, 1)
+                and isinstance(mod.padding, str)
+                and mod.padding in ("SAME", "VALID"))
     return (isinstance(mod, nn.Conv)
             and len(mod.kernel_size) == 2
             and mod.feature_group_count == 1
@@ -122,6 +135,22 @@ def _int8_conv(mod: nn.Conv, params: Mapping, x, scale: float):
     return y.astype(out_dtype)
 
 
+def _int8_conv_transpose(mod: nn.ConvTranspose, params: Mapping, x,
+                         scale: float):
+    leaf = _params_at(params, mod.path)
+    wq, ws = quantize_weight(leaf["kernel"])          # (Kh, Kw, I, O)
+    xq = quantize_activation(x, scale)
+    y = jax.lax.conv_transpose(
+        xq, wq, _pair(mod.strides), mod.padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=False, preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (ws * (scale / (QMAX * QMAX)))
+    if mod.use_bias:
+        y = y + leaf["bias"].astype(jnp.float32)
+    out_dtype = mod.dtype if mod.dtype is not None else x.dtype
+    return y.astype(out_dtype)
+
+
 def _int8_dense(mod: nn.Dense, params: Mapping, x, scale: float):
     leaf = _params_at(params, mod.path)
     wq, ws = quantize_weight(leaf["kernel"])          # (I, O), (O,)
@@ -143,7 +172,8 @@ def make_quant_interceptor(variables: Mapping, scales: Mapping[str, float]):
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
         if (context.method_name != "__call__"
-                or not isinstance(mod, (nn.Conv, nn.Dense))):
+                or not isinstance(mod, (nn.Conv, nn.ConvTranspose,
+                                        nn.Dense))):
             return next_fun(*args, **kwargs)
         path = "/".join(mod.path)
         scale = scales.get(path)
@@ -151,6 +181,8 @@ def make_quant_interceptor(variables: Mapping, scales: Mapping[str, float]):
             return next_fun(*args, **kwargs)
         if isinstance(mod, nn.Dense):
             return _int8_dense(mod, params, args[0], float(scale))
+        if isinstance(mod, nn.ConvTranspose):
+            return _int8_conv_transpose(mod, params, args[0], float(scale))
         return _int8_conv(mod, params, args[0], float(scale))
 
     return interceptor
@@ -183,7 +215,8 @@ def calibrate(apply_fn: Callable, variables: Mapping,
         def interceptor(next_fun, args, kwargs, context):
             mod = context.module
             if (context.method_name == "__call__"
-                    and isinstance(mod, (nn.Conv, nn.Dense))
+                    and isinstance(mod, (nn.Conv, nn.ConvTranspose,
+                                         nn.Dense))
                     and _quantizable(mod)):
                 path = "/".join(mod.path)
                 amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
