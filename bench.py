@@ -135,6 +135,15 @@ def bench_r50_infer():
     probe = lambda r: np.asarray(r[1])
     dt = _steady_s(lambda: step_q(dev), probe)
     out["int8_img_per_s"] = round(batch / dt, 2)
+
+    # fused int8 ENGINE (ops/int8_engine.py): int8 activations end-to-end,
+    # BN + uint8-normalize folded into the convs — the HBM-traffic halving
+    # the intercept path above cannot do (its inter-layer tensors stay bf16)
+    from tpupose.ops.int8_engine import Int8Engine
+
+    eng = Int8Engine.build(variables, backbone="resnet50", calib=[imgs])
+    dt = _steady_s(lambda: eng.decode(dev), probe)
+    out["int8_engine_img_per_s"] = round(batch / dt, 2)
     return out
 
 

@@ -1,0 +1,180 @@
+"""Fused int8 serving engine (ops/int8_engine.py).
+
+Covers: the BN+normalize folding (folded fp32 graph == model.apply) for
+both the SimpleBaseline chain and the HRNet DAG, the exact-int8 stem
+input representation, the graph walk over ResNet depths, and the
+end-to-end int8 engine tracking fp32 (heatmap correlation + decoded
+coordinates + fused decode consistency).
+
+The engine is the beyond-parity serving story: the reference's
+predictor/exporter are empty files (SURVEY.md §2.11); its CUDA
+ecosystem would get this recipe from TensorRT PTQ.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpupose.models.simple_baseline import SimpleBaseline
+from tpupose.ops.int8_engine import (Int8Engine, fold_simple_baseline,
+                                     folded_fp32_forward)
+from tpupose.ops.preprocess import (IMAGENET_MEAN, IMAGENET_STD,
+                                    normalize_images)
+
+
+def _init(backbone="resnet18", hw=(64, 48), k=17, seed=0):
+    model = SimpleBaseline(backbone=backbone, num_keypoints=k,
+                           dtype=jnp.float32)
+    x = jnp.zeros((1, *hw, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), x, train=False)
+    return model, variables
+
+
+def test_stem_int8_input_is_exact():
+    """uint8 - 128 in int8 loses nothing; with the folded per-channel
+    scale/shift it reproduces normalize_images exactly (interior pixels)."""
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+    ref = np.asarray(normalize_images(jnp.asarray(imgs), dtype=jnp.float32))
+    xi = imgs.astype(np.int32) - 128          # the engine's int8 value
+    alpha = 1.0 / (255.0 * np.asarray(IMAGENET_STD))
+    beta = (128.0 / 255.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(
+        IMAGENET_STD)
+    rec = xi * alpha + beta
+    np.testing.assert_allclose(rec, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("backbone,n_blocks", [("resnet18", 8),
+                                               ("resnet50", 16)])
+def test_fold_walk_covers_whole_network(backbone, n_blocks):
+    _, variables = _init(backbone, hw=(64, 48), k=4)
+    nodes, weights, stem_pad, in_pad = fold_simple_baseline(variables,
+                                                            backbone)
+    kinds = [nd.kind for nd in nodes]
+    # stem conv, maxpool, then per-block conv+add groups, 3 deconvs, final
+    assert kinds[0] == "conv" and kinds[1] == "maxpool"
+    assert kinds.count("add") == n_blocks
+    assert stem_pad.dtype == np.int8 and stem_pad.shape == (3,)
+    assert in_pad == (3, 3)
+    # every conv spec resolves to folded weights; final is the only fp32 out
+    names = {nd.spec.name for nd in nodes if nd.kind == "conv"}
+    assert names == set(weights)
+    fp32_outs = [nd for nd in nodes if nd.kind == "conv" and not nd.quant]
+    assert len(fp32_outs) == 1 and fp32_outs[0].spec.name == "final"
+    # graph is topologically ordered: every input is already defined
+    seen = {"in"}
+    for nd in nodes:
+        assert all(i in seen for i in nd.inputs)
+        seen.add(nd.out)
+
+
+def test_folded_fp32_matches_model_apply():
+    """BN folding + normalize folding reproduce the unfolded model. The
+    only deviation is the stem border: int8 padding quantizes the
+    normalized-zero pixel to the nearest of 256 levels."""
+    model, variables = _init("resnet18")
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 256, (2, 64, 48, 3)).astype(np.uint8)
+    ref = np.asarray(model.apply(variables, normalize_images(
+        jnp.asarray(imgs)), train=False))
+    fold = np.asarray(folded_fp32_forward(variables, "resnet18")(imgs))
+    denom = np.abs(ref).max()
+    assert np.abs(fold - ref).max() / denom < 0.02
+    c = np.corrcoef(ref.ravel(), fold.ravel())[0, 1]
+    assert c > 0.999
+
+
+@pytest.mark.slow
+def test_hrnet_fold_matches_model_apply():
+    """The HRNet DAG walk (multi-branch stages, fuse sums, nearest
+    upsampling, flax auto-numbering mirror) reproduces HRNetPose."""
+    from tpupose.models.backbones.hrnet import HRNetPose
+
+    model = HRNetPose(variant="hrnet_w18", num_keypoints=4,
+                      dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    ref = np.asarray(model.apply(variables, normalize_images(
+        jnp.asarray(imgs)), train=False))
+    fold = np.asarray(folded_fp32_forward(variables, "hrnet_w18")(imgs))
+    assert fold.shape == ref.shape
+    denom = np.abs(ref).max()
+    assert np.abs(fold - ref).max() / denom < 0.03
+    c = np.corrcoef(ref.ravel(), fold.ravel())[0, 1]
+    assert c > 0.999
+
+
+@pytest.mark.slow
+def test_hrnet_int8_engine_runs():
+    """End-to-end int8 serving of the HRNet DAG: finite heatmaps that
+    track fp32."""
+    from tpupose.models.backbones.hrnet import HRNetPose
+
+    model = HRNetPose(variant="hrnet_w18", num_keypoints=4,
+                      dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+
+    eng = Int8Engine.build(variables, backbone="hrnet_w18", calib=imgs)
+    hm_q = np.asarray(eng(imgs))
+    hm_f = np.asarray(model.apply(variables, normalize_images(
+        jnp.asarray(imgs)), train=False))
+    assert hm_q.shape == hm_f.shape
+    assert np.isfinite(hm_q).all()
+    c = np.corrcoef(hm_f.ravel(), hm_q.ravel())[0, 1]
+    assert c > 0.95
+
+
+@pytest.mark.slow
+def test_int8_engine_tracks_fp32_end_to_end():
+    """Full engine: int8 activations end-to-end still track the fp32
+    model — high heatmap correlation, decoded keypoints within a pixel,
+    and the fused decode() agrees with decoding the engine's heatmaps."""
+    from tpupose.ops.decode import decode_heatmaps
+
+    model, variables = _init("resnet18", hw=(64, 64), k=4)
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 256, (4, 64, 64, 3)).astype(np.uint8)
+    calib = rng.randint(0, 256, (4, 64, 64, 3)).astype(np.uint8)
+
+    eng = Int8Engine.build(variables, backbone="resnet18", calib=[calib])
+    hm_q = np.asarray(eng(imgs))
+    hm_f = np.asarray(model.apply(variables, normalize_images(
+        jnp.asarray(imgs)), train=False))
+    assert hm_q.shape == hm_f.shape
+    c = np.corrcoef(hm_f.ravel(), hm_q.ravel())[0, 1]
+    assert c > 0.98
+
+    cq, sq = map(np.asarray, eng.decode(imgs))
+    cf, _ = map(np.asarray, decode_heatmaps(
+        jnp.transpose(jnp.asarray(hm_f), (0, 3, 1, 2)), method="dark"))
+    # random-init heatmaps are nearly flat, so a few argmax flips are
+    # expected; most joints must land within ~1 heatmap pixel
+    d = np.linalg.norm(cq - cf, axis=-1)
+    assert (d <= 1.5).mean() > 0.7
+
+    # fused decode == decode of the engine's own heatmaps (exactly)
+    c2, s2 = decode_heatmaps(jnp.transpose(jnp.asarray(hm_q), (0, 3, 1, 2)),
+                             method="dark")
+    np.testing.assert_allclose(cq, np.asarray(c2), atol=1e-5)
+    np.testing.assert_allclose(sq, np.asarray(s2), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_engine_accepts_trained_variables_resnet50():
+    """The graph walk serves a resnet50 tree (bottleneck path + projection
+    shortcuts) without shape errors and produces finite heatmaps."""
+    model, variables = _init("resnet50", hw=(64, 48), k=4)
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 256, (2, 64, 48, 3)).astype(np.uint8)
+    ref = model.apply(variables, normalize_images(jnp.asarray(imgs)),
+                      train=False)
+    eng = Int8Engine.build(variables, backbone="resnet50", calib=imgs)
+    hm = np.asarray(eng(imgs))
+    assert hm.shape == ref.shape
+    assert np.isfinite(hm).all()
