@@ -453,6 +453,20 @@ def bench_hrnet_w48_eval():
     dt = _steady_s(lambda: ev_q._step(state, imgs, centers, scales),
                    lambda r: np.asarray(r[1]))
     out["int8_eval_img_per_s"] = round(B / dt, 2)
+
+    # fused int8 ENGINE variant: the HRNet DAG served with int8
+    # activations end-to-end (ops/int8_engine.py), same fused
+    # flip+merge+DARK program around it
+    from tpupose.ops.int8_engine import Int8Engine
+
+    eng = Int8Engine.build(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        backbone="hrnet_w48", calib=np.asarray(imgs)[:32])
+    ev_e = TopDownEvaluator(state, (96, 72), decode="dark", flip_test=True,
+                            int8_engine=eng)
+    dt = _steady_s(lambda: ev_e._step(state, imgs, centers, scales),
+                   lambda r: np.asarray(r[1]))
+    out["int8_engine_eval_img_per_s"] = round(B / dt, 2)
     return out
 
 

@@ -166,6 +166,41 @@ def test_int8_engine_tracks_fp32_end_to_end():
 
 
 @pytest.mark.slow
+def test_evaluator_serves_through_engine():
+    """TopDownEvaluator(int8_engine=...) runs the fused flip+merge+DARK
+    program around the int8 graph and lands near the fp32 evaluator."""
+    import optax
+
+    from tpupose.engine.evaluator import TopDownEvaluator
+    from tpupose.engine.train_state import create_train_state
+
+    model, variables = _init("resnet18", hw=(64, 64), k=4)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), optax.sgd(0.0))
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    rng = np.random.RandomState(5)
+    imgs = rng.randint(0, 256, (4, 64, 64, 3)).astype(np.uint8)
+    centers = np.tile([[32.0, 32.0]], (4, 1)).astype(np.float32)
+    scales = np.tile([[64.0, 64.0]], (4, 1)).astype(np.float32)
+    pairs = np.zeros((0, 2), np.int64)
+
+    ev = TopDownEvaluator(state, (16, 16), decode="dark", flip_test=True,
+                          flip_pairs=pairs)
+    eng = Int8Engine.build(variables, backbone="resnet18", calib=imgs)
+    ev_e = TopDownEvaluator(state, (16, 16), decode="dark", flip_test=True,
+                            flip_pairs=pairs, int8_engine=eng)
+
+    cf, sf = map(np.asarray, ev._step(state, imgs, centers, scales))
+    cq, sq = map(np.asarray, ev_e._step(state, imgs, centers, scales))
+    assert cq.shape == cf.shape and sq.shape == sf.shape
+    # source coords: 64px image -> most joints within ~2 px of fp32
+    d = np.linalg.norm(cq - cf, axis=-1)
+    assert (d <= 2.0).mean() > 0.7
+    assert np.abs(sq - sf).max() < 0.05
+
+
+@pytest.mark.slow
 def test_engine_accepts_trained_variables_resnet50():
     """The graph walk serves a resnet50 tree (bottleneck path + projection
     shortcuts) without shape errors and produces finite heatmaps."""

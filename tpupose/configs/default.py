@@ -133,6 +133,10 @@ class EvalConfig:
     int8: bool = False                  # serve inference/eval with int8 PTQ
                                         # (ops/quant.py; calibrated on the
                                         # first batch seen)
+    int8_engine: bool = False           # serve eval with the fused
+                                        # int8-activation engine
+                                        # (ops/int8_engine.py; SimpleBaseline
+                                        # /HRNet heatmap families only)
     # metric set for Trainer.evaluate / --test: names from tpupose.metrics
     metrics: tuple = ("pck", "mpjpe", "oks_ap")
 

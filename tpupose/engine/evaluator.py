@@ -51,7 +51,7 @@ class TopDownEvaluator:
                  flip_test: bool = True, flip_pairs=None,
                  blur_kernel: int = 11, sigma: float = 2.0,
                  shard_fn=None, quant_scales=None, family: str = "heatmap",
-                 udp: bool = False):
+                 udp: bool = False, int8_engine=None):
         """shard_fn (optional): host batch pytree -> mesh-sharded arrays
         (e.g. MeshManager.shard_batch). With it, eval batches are sharded
         over the mesh 'data' axis so metric evaluation runs data-parallel
@@ -78,6 +78,12 @@ class TopDownEvaluator:
         self.shard_fn = shard_fn
         self.quant_scales = dict(quant_scales) if quant_scales else None
         self.udp = udp
+        # int8_engine (optional): an ops.int8_engine.Int8Engine built from
+        # this state — replaces normalize+forward with the fused
+        # int8-activation graph (uint8 in, fp32 heatmaps out); flip/merge/
+        # decode/back-projection are unchanged. Stronger than quant_scales:
+        # inter-layer activations are stored int8, halving HBM traffic.
+        self.int8_engine = int8_engine
         # family: "heatmap" (2D maps + DARK/offset decode) or "simcc"
         # (1D bin classification, models/simcc.py; heatmap_size = bin grid)
         self.family = family
@@ -102,11 +108,19 @@ class TopDownEvaluator:
         from tpupose.ops.decode import decode_heatmaps, merge_flip
         from tpupose.ops.preprocess import normalize_images
 
-        x = normalize_images(images)
-        hm = self._apply(state, x)                            # (B, Hh, Wh, K)
+        if self.int8_engine is not None:
+            # normalize is folded into the engine's first conv; flipping
+            # raw uint8 pixels == flipping normalized pixels
+            fwd = lambda im: self.int8_engine.forward_traceable(im)
+            hm = fwd(images)
+            x = images
+        else:
+            x = normalize_images(images)
+            fwd = lambda xx: self._apply(state, xx)
+            hm = fwd(x)                                       # (B, Hh, Wh, K)
         hm = jnp.transpose(hm, (0, 3, 1, 2))                  # NKHW
         if self.flip_test:
-            hm_f = self._apply(state, x[:, :, ::-1])
+            hm_f = fwd(x[:, :, ::-1])
             hm_f = jnp.transpose(hm_f, (0, 3, 1, 2))
             pairs = self.flip_pairs if len(self.flip_pairs) else np.zeros((0, 2), np.int64)
             hm = merge_flip(hm, hm_f, pairs, shift=not self.udp)

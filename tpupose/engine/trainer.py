@@ -355,7 +355,8 @@ class Trainer:
         the current weights, so reusing the epoch-1 program would clip
         later epochs' activations to stale ranges (and mutating
         .quant_scales would not retrace anyway)."""
-        if getattr(self, "_evaluator", None) is None or self.cfg.eval.int8:
+        rebuild_each = self.cfg.eval.int8 or self.cfg.eval.int8_engine
+        if getattr(self, "_evaluator", None) is None or rebuild_each:
             from tpupose.engine.evaluator import TopDownEvaluator
 
             # flip pairs come from the dataset (COCO/MPII define theirs);
@@ -372,6 +373,27 @@ class Trainer:
                 first = next(iter(self.valid_loader))
                 quant_scales = HeatmapPredictor.calibrate_int8(
                     self.state.for_eval(), np.asarray(first["images"]))
+            # eval.int8_engine: the fused int8-activation graph (BN +
+            # normalize folded into the convs) — SimpleBaseline/HRNet
+            # heatmap families; calibrated on the first validation batch
+            # against the CURRENT weights like eval.int8
+            engine = None
+            if self.cfg.eval.int8_engine:
+                from tpupose.ops.int8_engine import Int8Engine
+
+                bb = self.cfg.model.backbone
+                if self.family != "heatmap" or not (
+                        bb.startswith("resnet") or bb.startswith("hrnet")):
+                    raise ValueError(
+                        "eval.int8_engine supports the SimpleBaseline/"
+                        f"HRNet heatmap families only (got family="
+                        f"{self.family!r}, backbone={bb!r})")
+                es = self.state.for_eval()
+                first = next(iter(self.valid_loader))
+                engine = Int8Engine.build(
+                    {"params": es.params, "batch_stats": es.batch_stats},
+                    backbone=bb, calib=np.asarray(first["images"]),
+                    decode_method=self.cfg.eval.decode)
             self._evaluator = TopDownEvaluator(
                 self.state.for_eval(), tuple(self.cfg.model.heatmap_size),
                 decode=self.cfg.eval.decode,
@@ -382,7 +404,8 @@ class Trainer:
                 shard_fn=self.mesh_mgr.shard_batch,
                 quant_scales=quant_scales,
                 family=("simcc" if self.family == "simcc" else "heatmap"),
-                udp=getattr(self.cfg.data, "udp", False))
+                udp=getattr(self.cfg.data, "udp", False),
+                int8_engine=engine)
         self._evaluator.state = self.state.for_eval()
         return self._evaluator
 

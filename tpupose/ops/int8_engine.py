@@ -562,6 +562,13 @@ class Int8Engine:
     def decode(self, images):
         return self._dec(self._qw, jnp.asarray(images))
 
+    def forward_traceable(self, images):
+        """The int8 forward as a traceable expression (uint8 NHWC -> fp32
+        heatmaps NHWC) for embedding inside a larger jitted program —
+        e.g. the evaluator's fused forward+flip+merge+decode step."""
+        return _forward_int8(self._nodes, self._qw, self._scales,
+                             self._pad, self._in_pad, images)
+
 
 def folded_fp32_forward(variables, backbone: str = "resnet50"):
     """The BN-folded fp32 graph as a jittable fn(images_uint8) -> heatmaps.
