@@ -107,6 +107,44 @@ def test_hrnet_fold_matches_model_apply():
     assert c > 0.999
 
 
+def test_hrnet_fold_odd_input_size():
+    """Non-32-divisible inputs: ceil-division branch resolutions make the
+    fuse upsample ratios non-integer; the engine must take the same
+    nearest-resize fallback as the model's _upsample_to instead of
+    crashing on a fixed 2**(j-i) factor."""
+    from tpupose.models.backbones.hrnet import HRNetPose
+
+    model = HRNetPose(variant="hrnet_w18", num_keypoints=4,
+                      dtype=jnp.float32)
+    x = jnp.zeros((1, 100, 100, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    rng = np.random.RandomState(4)
+    imgs = rng.randint(0, 256, (2, 100, 100, 3)).astype(np.uint8)
+    ref = np.asarray(model.apply(variables, normalize_images(
+        jnp.asarray(imgs)), train=False))
+    fold = np.asarray(folded_fp32_forward(variables, "hrnet_w18")(imgs))
+    assert fold.shape == ref.shape
+    denom = np.abs(ref).max()
+    assert np.abs(fold - ref).max() / denom < 0.03
+
+
+def test_unsupported_backbone_is_a_clear_error():
+    with pytest.raises(ValueError, match="SimpleBaseline"):
+        Int8Engine.build({"params": {}}, backbone="convnext_tiny",
+                         calib=[np.zeros((1, 32, 32, 3), np.uint8)])
+
+
+def test_stem_rounds_float_pixels():
+    """fp32 pixels round to the nearest integer (matching the fp32
+    path's value), never truncate toward zero."""
+    from tpupose.ops.int8_engine import _stem_int8
+
+    imgs = jnp.asarray([[[[254.9, 0.4, 127.5]]]], jnp.float32)
+    out = np.asarray(_stem_int8(imgs, np.zeros(3, np.int8), (0, 0)))
+    assert out[0, 0, 0, 0] == 255 - 128
+    assert out[0, 0, 0, 1] == 0 - 128
+
+
 @pytest.mark.slow
 def test_hrnet_int8_engine_runs():
     """End-to-end int8 serving of the HRNet DAG: finite heatmaps that
@@ -198,6 +236,38 @@ def test_evaluator_serves_through_engine():
     d = np.linalg.norm(cq - cf, axis=-1)
     assert (d <= 2.0).mean() > 0.7
     assert np.abs(sq - sf).max() < 0.05
+
+
+@pytest.mark.slow
+def test_predictor_serves_through_engine():
+    """HeatmapPredictor(int8_engine=...) is the serving-API twin of the
+    evaluator wiring: identical outputs for the same engine + inputs."""
+    import optax
+
+    from tpupose.engine.evaluator import TopDownEvaluator
+    from tpupose.engine.predictor import HeatmapPredictor
+    from tpupose.engine.train_state import create_train_state
+
+    model, variables = _init("resnet18", hw=(64, 64), k=4)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), optax.sgd(0.0))
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    rng = np.random.RandomState(7)
+    imgs = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    pairs = np.zeros((0, 2), np.int64)
+
+    eng = Int8Engine.build(variables, backbone="resnet18", calib=imgs)
+    pred = HeatmapPredictor(state, (16, 16), decode="dark", flip_test=False,
+                            flip_pairs=pairs, int8_engine=eng)
+    ev = TopDownEvaluator(state, (16, 16), decode="dark", flip_test=False,
+                          flip_pairs=pairs, int8_engine=eng)
+    centers = np.tile([[32.0, 32.0]], (2, 1)).astype(np.float32)
+    scales = np.tile([[64.0, 64.0]], (2, 1)).astype(np.float32)
+    cp, sp = map(np.asarray, pred(imgs, centers, scales))
+    ce, se = map(np.asarray, ev._step(state, imgs, centers, scales))
+    np.testing.assert_allclose(cp, ce, atol=1e-5)
+    np.testing.assert_allclose(sp, se, atol=1e-6)
 
 
 @pytest.mark.slow

@@ -89,7 +89,20 @@ class TopDownEvaluator:
         self.family = family
         step = (self._simcc_eval_step if family == "simcc"
                 else self._eval_step)
-        self._step = jax.jit(partial(step))
+        if int8_engine is not None:
+            if family != "heatmap":
+                raise ValueError(
+                    f"int8_engine serves the heatmap family only "
+                    f"(got family={family!r})")
+            # the engine's quantized weights ride the jit as an ARGUMENT
+            # (runtime buffers), not a closure constant — closing over
+            # them would bake every weight into the executable (held
+            # twice in HBM, constant-folded on every compile)
+            jitted = jax.jit(partial(step))
+            self._step = lambda state, images, centers, scales: jitted(
+                state, images, centers, scales, self.int8_engine._qw)
+        else:
+            self._step = jax.jit(partial(step))
 
     def _apply(self, state, x):
         variables = {"params": state.params,
@@ -101,9 +114,11 @@ class TopDownEvaluator:
                                    x, train=False)
         return state.apply_fn(variables, x, train=False)
 
-    def _eval_step(self, state, images, centers, scales):
+    def _eval_step(self, state, images, centers, scales, engine_qw=None):
         """One fused program: normalize -> forward (+flipped forward) ->
-        merge -> decode -> transform to source coords."""
+        merge -> decode -> transform to source coords. engine_qw: the
+        int8 engine's quantized-weight pytree, passed through the jit
+        boundary as an argument (see __init__)."""
         from tpupose.ops.affine import get_affine_matrix, affine_transform_points
         from tpupose.ops.decode import decode_heatmaps, merge_flip
         from tpupose.ops.preprocess import normalize_images
@@ -111,7 +126,7 @@ class TopDownEvaluator:
         if self.int8_engine is not None:
             # normalize is folded into the engine's first conv; flipping
             # raw uint8 pixels == flipping normalized pixels
-            fwd = lambda im: self.int8_engine.forward_traceable(im)
+            fwd = lambda im: self.int8_engine.forward_traceable(im, engine_qw)
             hm = fwd(images)
             x = images
         else:

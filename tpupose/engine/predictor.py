@@ -23,9 +23,12 @@ import numpy as np
 class HeatmapPredictor:
     def __init__(self, state, heatmap_size, decode: str = "dark",
                  flip_test: bool = False, flip_pairs=None,
-                 quant_scales=None, udp: bool = False):
+                 quant_scales=None, udp: bool = False, int8_engine=None):
         """quant_scales: {conv_path: amax} from `calibrate_int8` — serve
         the forward with int8 MXU convolutions (see ops/quant.py).
+        int8_engine: an ops.int8_engine.Int8Engine built from this state —
+        the stronger serving path (int8 activations end-to-end, BN +
+        normalize folded into the convs; SimpleBaseline/HRNet families).
         udp: unit-length coordinate convention (must match training's
         cfg.data.udp)."""
         from tpupose.engine.evaluator import TopDownEvaluator
@@ -33,7 +36,8 @@ class HeatmapPredictor:
         self._ev = TopDownEvaluator(state, heatmap_size, decode=decode,
                                     flip_test=flip_test,
                                     flip_pairs=flip_pairs,
-                                    quant_scales=quant_scales, udp=udp)
+                                    quant_scales=quant_scales, udp=udp,
+                                    int8_engine=int8_engine)
 
     @staticmethod
     def calibrate_int8(state, images):

@@ -393,7 +393,8 @@ class Trainer:
                 engine = Int8Engine.build(
                     {"params": es.params, "batch_stats": es.batch_stats},
                     backbone=bb, calib=np.asarray(first["images"]),
-                    decode_method=self.cfg.eval.decode)
+                    decode_method=self.cfg.eval.decode,
+                    blur_kernel=self.cfg.eval.blur_kernel)
             self._evaluator = TopDownEvaluator(
                 self.state.for_eval(), tuple(self.cfg.model.heatmap_size),
                 decode=self.cfg.eval.decode,

@@ -51,7 +51,7 @@ PTQ.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -59,8 +59,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpupose.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
-
-QMAX = 127.0
+from tpupose.ops.quant import QMAX, quantize_weight
 
 
 # ---------------------------------------------------------------------------
@@ -101,6 +100,11 @@ class Node:
     quant: bool = True
     relu: bool = False
     factor: Tuple[int, int] = (1, 1)
+    # upsample target: the tensor id whose spatial dims to match. With it,
+    # non-integer ratios fall back to nearest resize exactly like the
+    # model's _upsample_to (models/backbones/hrnet.py:29); without it the
+    # integer `factor` is used.
+    like: Optional[str] = None
 
 
 class GraphBuilder:
@@ -135,9 +139,11 @@ class GraphBuilder:
         self.nodes.append(Node("maxpool", out, (x,)))
         return out
 
-    def upsample(self, x: str, factor: Tuple[int, int]) -> str:
+    def upsample(self, x: str, factor: Tuple[int, int],
+                 like: Optional[str] = None) -> str:
         out = self._fresh()
-        self.nodes.append(Node("upsample", out, (x,), factor=factor))
+        self.nodes.append(Node("upsample", out, (x,), factor=factor,
+                               like=like))
         return out
 
 
@@ -336,7 +342,7 @@ def fold_hrnet_pose(variables, variant: str = "hrnet_w32",
                         y = convbn(y, fp[f"_ConvBN_{c}"], fs[f"_ConvBN_{c}"],
                                    f"s{stage_idx}m{m}f{i}{j}", relu=False)
                         f = 2 ** (j - i)
-                        y = g.upsample(y, (f, f))
+                        y = g.upsample(y, (f, f), like=ys[i])
                     elif j < i:
                         for kstep in range(i - j):
                             last = kstep == i - j - 1
@@ -387,15 +393,34 @@ def _maxpool(x, init):
         ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
-def _upsample_nearest(x, factor):
+def _upsample_nearest(x, target_hw):
+    """Nearest upsample to `target_hw` — integer ratios via broadcast +
+    reshape (relayout XLA fuses away), anything else via nearest resize:
+    the exact semantics of the model's _upsample_to
+    (models/backbones/hrnet.py:29), int8-safe (resize nearest is a
+    gather)."""
     B, H, W, C = x.shape
-    fh, fw = factor
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, fh, W, fw, C))
-    return x.reshape(B, H * fh, W * fw, C)
+    th, tw = target_hw
+    fh, fw = th // H, tw // W
+    if fh * H == th and fw * W == tw and fh >= 1 and fw >= 1:
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, fh, W, fw, C))
+        return x.reshape(B, th, tw, C)
+    return jax.image.resize(x, (B, th, tw, C), method="nearest")
+
+
+def _upsample_target(nd: Node, x, env, unwrap=lambda v: v):
+    if nd.like is not None:
+        t = unwrap(env[nd.like])
+        return (t.shape[1], t.shape[2])
+    return (x.shape[1] * nd.factor[0], x.shape[2] * nd.factor[1])
 
 
 def _stem_int8(images, stem_pad, in_pad):
-    """uint8 NHWC -> zero-error int8 with normalized-zero border padding."""
+    """uint8 NHWC -> zero-error int8 with normalized-zero border padding.
+    Float pixel inputs (still in [0, 255]) are rounded, not truncated, so
+    the engine matches the fp32 path's nearest-integer pixel."""
+    if not jnp.issubdtype(images.dtype, jnp.integer):
+        images = jnp.round(images)
     x = (images.astype(jnp.int32) - 128).astype(jnp.int8)
     B, H, W, C = x.shape
     ph, pw = in_pad
@@ -420,7 +445,8 @@ def _forward_calib(nodes, weights, stem_pad, in_pad, images):
         elif nd.kind == "maxpool":
             y = _maxpool(env[nd.inputs[0]], jnp.float32(-jnp.inf))
         elif nd.kind == "upsample":
-            y = _upsample_nearest(env[nd.inputs[0]], nd.factor)
+            x = env[nd.inputs[0]]
+            y = _upsample_nearest(x, _upsample_target(nd, x, env))
         elif nd.kind == "add":
             y = env[nd.inputs[0]]
             for nm in nd.inputs[1:]:
@@ -468,7 +494,8 @@ def _forward_int8(nodes, qweights, scales, stem_pad, in_pad, images):
             last = env[nd.out]
         elif nd.kind == "upsample":
             xq, xs = env[nd.inputs[0]]
-            env[nd.out] = (_upsample_nearest(xq, nd.factor), xs)
+            thw = _upsample_target(nd, xq, env, unwrap=lambda v: v[0])
+            env[nd.out] = (_upsample_nearest(xq, thw), xs)
             last = env[nd.out]
         elif nd.kind == "add":
             y = None
@@ -492,10 +519,7 @@ def _forward_int8(nodes, qweights, scales, stem_pad, in_pad, images):
 def _quantize_weights(weights):
     out = {}
     for name, (k, b) in weights.items():
-        kf = k.astype(jnp.float32)
-        ws = jnp.maximum(jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))),
-                         1e-8)
-        wq = jnp.round(kf / ws * QMAX).astype(jnp.int8)
+        wq, ws = quantize_weight(k)      # shared recipe, ops/quant.py
         out[name] = (wq, ws / QMAX, b)
     return out
 
@@ -503,7 +527,11 @@ def _quantize_weights(weights):
 def _fold(variables, backbone: str):
     if backbone.startswith("hrnet"):
         return fold_hrnet_pose(variables, backbone)
-    return fold_simple_baseline(variables, backbone)
+    if backbone.startswith("resnet"):
+        return fold_simple_baseline(variables, backbone)
+    raise ValueError(
+        f"Int8Engine supports the SimpleBaseline (resnet*) and HRNet "
+        f"(hrnet*) heatmap families only, got backbone={backbone!r}")
 
 
 class Int8Engine:
@@ -518,7 +546,8 @@ class Int8Engine:
     """
 
     def __init__(self, nodes, qweights, scales, stem_pad, in_pad,
-                 decode_method="dark"):
+                 decode_method="dark", blur_kernel: int = 11,
+                 sigma: float = 2.0):
         self._nodes = nodes
         self._qw = qweights
         self._scales = tuple(scales)
@@ -533,13 +562,15 @@ class Int8Engine:
                                imgs)
             from tpupose.ops.decode import decode_heatmaps
             return decode_heatmaps(jnp.transpose(hm, (0, 3, 1, 2)),
-                                   method=decode_method)
+                                   method=decode_method,
+                                   blur_kernel=blur_kernel, sigma=sigma)
 
         self._dec = jax.jit(_dec)
 
     @classmethod
     def build(cls, variables, backbone: str = "resnet50",
-              calib: Sequence = (), decode_method: str = "dark"):
+              calib: Sequence = (), decode_method: str = "dark",
+              blur_kernel: int = 11, sigma: float = 2.0):
         nodes, weights, stem_pad, in_pad = _fold(variables, backbone)
         if hasattr(calib, "shape"):
             calib = [calib]
@@ -554,7 +585,7 @@ class Int8Engine:
                                              for a, g in zip(amax, got)]
         amax = [max(a, 1e-6) for a in amax]
         return cls(nodes, _quantize_weights(weights), amax, stem_pad,
-                   in_pad, decode_method)
+                   in_pad, decode_method, blur_kernel, sigma)
 
     def __call__(self, images):
         return self._fwd(self._qw, jnp.asarray(images))
@@ -562,11 +593,18 @@ class Int8Engine:
     def decode(self, images):
         return self._dec(self._qw, jnp.asarray(images))
 
-    def forward_traceable(self, images):
+    def forward_traceable(self, images, qweights=None):
         """The int8 forward as a traceable expression (uint8 NHWC -> fp32
         heatmaps NHWC) for embedding inside a larger jitted program —
-        e.g. the evaluator's fused forward+flip+merge+decode step."""
-        return _forward_int8(self._nodes, self._qw, self._scales,
+        e.g. the evaluator's fused forward+flip+merge+decode step.
+
+        Pass `qweights` (this engine's `_qw` pytree, threaded through the
+        caller's jit as an ARGUMENT) so the quantized weights stay runtime
+        buffers; closing over the default bakes every weight into the
+        caller's executable as XLA constants (weights held twice in HBM +
+        constant-folding over tens of MB each compile)."""
+        qw = self._qw if qweights is None else qweights
+        return _forward_int8(self._nodes, qw, self._scales,
                              self._pad, self._in_pad, images)
 
 
