@@ -60,6 +60,63 @@ def test_ae_grouping_loss_hand_computed():
     np.testing.assert_allclose(float(push2), 1.0, atol=1e-6)
 
 
+def test_ae_loss_excludes_padded_rows():
+    """Trainer.validate's pad_last contract: a duplicate row with a zeroed
+    instance_mask must contribute NOTHING to the loss — same prediction,
+    same loss, regardless of how many padded rows ride along."""
+    from tpupose.losses.ae import ae_loss
+
+    K, H, W, M = 2, 16, 16, 3
+    rng = np.random.RandomState(0)
+    kpts = np.zeros((1, M, K, 3), np.float32)
+    kpts[0, 0, :, :2] = rng.uniform(0.2, 0.8, (K, 2))
+    kpts[0, 0, :, 2] = 2
+    mask1 = np.zeros((1, M), np.float32)
+    mask1[0, 0] = 1
+    pred1 = rng.uniform(0, 1, (1, H, W, 2 * K)).astype(np.float32)
+
+    loss1, _ = ae_loss(jnp.asarray(pred1), jnp.asarray(kpts),
+                       jnp.asarray(mask1))
+    # append the SAME image as a padded duplicate (mask all-zero)
+    pred2 = np.concatenate([pred1, pred1], 0)
+    kpts2 = np.concatenate([kpts, kpts], 0)
+    mask2 = np.concatenate([mask1, np.zeros((1, M), np.float32)], 0)
+    loss2, _ = ae_loss(jnp.asarray(pred2), jnp.asarray(kpts2),
+                       jnp.asarray(mask2))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+
+
+def test_gather_tags_excludes_offmap_joints():
+    """A visible joint whose pixel falls outside the map must not pull a
+    clamped border tag into the person mean (mirrors the heatmap target's
+    off-map weight mask)."""
+    from tpupose.losses.ae import gather_tags
+
+    K, H, W = 1, 8, 8
+    tags = np.full((1, H, W, K), 7.0, np.float32)
+    kpts = np.zeros((1, 1, K, 3), np.float32)
+    kpts[0, 0, 0] = (1.5, 0.5, 2)      # x = 1.5 * W = 12 -> off-map
+    mask = np.ones((1, 1), np.float32)
+    _, valid = gather_tags(jnp.asarray(tags), jnp.asarray(kpts),
+                           jnp.asarray(mask))
+    assert float(valid[0, 0, 0]) == 0.0
+
+
+def test_decode_ae_plateau_tie_single_person():
+    """An exact 2-pixel plateau (int8-quantized maps make these common)
+    must decode as ONE person, not one duplicate per tied pixel."""
+    from tpupose.ops.ae_decode import decode_ae
+
+    K, H, W = 1, 16, 16
+    hm = np.zeros((1, K, H, W), np.float32)
+    hm[0, 0, 10, 10] = 1.0
+    hm[0, 0, 10, 11] = 1.0                 # exact tie, same 3x3 window
+    tagm = np.zeros((1, K, H, W), np.float32)
+    out = decode_ae(jnp.asarray(hm), jnp.asarray(tagm), max_people=4,
+                    refine=False)
+    assert int(np.asarray(out["person_mask"]).sum()) == 1
+
+
 def test_decode_ae_groups_two_people():
     """Perfect heatmaps + well-separated tags -> decode recovers both
     instances with the right joint assignments."""

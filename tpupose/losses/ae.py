@@ -61,14 +61,20 @@ def gather_tags(tags, keypoints, instance_mask):
     B, H, W, K = tags.shape
     scale = jnp.array([W, H], jnp.float32)
     j = keypoints[..., :2].astype(jnp.float32) * scale
-    xi = jnp.clip(jnp.round(j[..., 0]).astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(jnp.round(j[..., 1]).astype(jnp.int32), 0, H - 1)
+    xr = jnp.round(j[..., 0])
+    yr = jnp.round(j[..., 1])
+    xi = jnp.clip(xr.astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(yr.astype(jnp.int32), 0, H - 1)
     idx = yi * W + xi                                        # (B, M, K)
     flat = tags.reshape(B, H * W, K)
     flat = jnp.swapaxes(flat, 1, 2)                          # (B, K, HW)
     vals = jnp.take_along_axis(flat, jnp.swapaxes(idx, 1, 2), axis=2)
     vals = jnp.swapaxes(vals, 1, 2)                          # (B, M, K)
-    valid = (keypoints[..., 2] > 0) & (instance_mask[..., None] > 0)
+    # off-map joints (rounded pixel outside the grid) are excluded, like
+    # the heatmap target's weight mask — otherwise the clamp above pulls
+    # an arbitrary border-pixel tag into the person mean
+    in_map = (xr >= 0) & (xr <= W - 1) & (yr >= 0) & (yr <= H - 1)
+    valid = (keypoints[..., 2] > 0) & (instance_mask[..., None] > 0) & in_map
     return vals, valid.astype(jnp.float32)
 
 
@@ -111,7 +117,13 @@ def ae_loss(pred, keypoints, instance_mask, *, sigma: float = 2.0,
     tags = pred[..., K:].astype(jnp.float32)
     target = multi_person_heatmaps(keypoints, instance_mask,
                                    (pred.shape[1], pred.shape[2]), sigma)
-    hm_loss = jnp.mean((hm - target) ** 2)
+    # masked row mean: rows whose instance_mask is all zero are padding
+    # (Trainer.validate's pad_last contract zeroes the duplicate rows' mask
+    # and relies on the loss excluding them) — an unmasked jnp.mean would
+    # charge a padded row mean(hm^2) against its all-zero rendered target
+    row = (jnp.sum(instance_mask, axis=1) > 0).astype(jnp.float32)   # (B,)
+    per_row = jnp.mean((hm - target) ** 2, axis=(1, 2, 3))           # (B,)
+    hm_loss = jnp.sum(per_row * row) / jnp.maximum(jnp.sum(row), 1.0)
     pull, push = ae_grouping_loss(tags, keypoints, instance_mask, tag_sigma)
     loss = (heatmap_weight * hm_loss + pull_weight * pull
             + push_weight * push)

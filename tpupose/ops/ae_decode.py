@@ -36,7 +36,18 @@ def find_peaks(heatmaps, max_people: int):
     B, K, H, W = heatmaps.shape
     pooled = lax.reduce_window(
         heatmaps, -jnp.inf, lax.max, (1, 1, 3, 3), (1, 1, 1, 1), "SAME")
-    peaks = jnp.where(heatmaps >= pooled, heatmaps, 0.0)
+    mask = heatmaps >= pooled
+    # tie-break exact plateaus: two equal-valued pixels in one 3x3 window
+    # both satisfy >= pooled and would each seed a (duplicate) person in
+    # the grouping below. Keep only the highest linear index among the
+    # masked pixels of each window — one survivor per within-window tie.
+    # (Int8-served heatmaps are lattice-quantized, so exact neighbor ties
+    # are common there, not just a fp32 corner case.)
+    lin = jnp.arange(H * W, dtype=jnp.int32).reshape(1, 1, H, W)
+    idxm = jnp.where(mask, lin, -1)
+    pooled_idx = lax.reduce_window(
+        idxm, jnp.int32(-1), lax.max, (1, 1, 3, 3), (1, 1, 1, 1), "SAME")
+    peaks = jnp.where(mask & (idxm == pooled_idx), heatmaps, 0.0)
     flat = peaks.reshape(B, K, H * W)
     scores, idx = lax.top_k(flat, max_people)                # (B, K, P)
     xs = (idx % W).astype(jnp.float32)
@@ -61,24 +72,11 @@ def decode_ae(heatmaps, tags, max_people: int = 8,
     tflat = tags.reshape(B, K, H * W)
     tagv = jnp.take_along_axis(tflat, idx, axis=2)           # (B, K, P)
     if refine:
-        # quarter-offset toward the higher neighbor (the classic sub-pixel
-        # rule, same as ops/decode.quarter_offset_refine for top-down)
-        xi, yi = idx % W, idx // W
-        hflat = heatmaps.reshape(B, K, H * W)
+        # classic quarter-offset toward the higher neighbor — the shared
+        # top-down rule, generalized over the candidate axis
+        from tpupose.ops.decode import quarter_offset_refine
 
-        def _at(xj, yj):
-            return jnp.take_along_axis(hflat, yj * W + xj, axis=2)
-
-        dx = jnp.sign(_at(jnp.minimum(xi + 1, W - 1), yi)
-                      - _at(jnp.maximum(xi - 1, 0), yi))
-        dy = jnp.sign(_at(xi, jnp.minimum(yi + 1, H - 1))
-                      - _at(xi, jnp.maximum(yi - 1, 0)))
-        # border guard (same rule as ops/decode.quarter_offset_refine):
-        # clamped neighbors alias the peak at the map edge, which would
-        # shift border joints off-grid
-        dx = dx * ((xi > 0) & (xi < W - 1))
-        dy = dy * ((yi > 0) & (yi < H - 1))
-        coords = coords + 0.25 * jnp.stack([dx, dy], axis=-1)
+        coords = quarter_offset_refine(heatmaps, coords)
 
     def joint_step(state, inp):
         g_tag_sum, g_cnt = state

@@ -39,16 +39,24 @@ def get_max_preds(heatmaps):
 
 
 def _gather_hm(heatmaps, xi, yi):
-    """heatmaps (B,K,H,W); xi, yi (B,K) int32, clamped -> values (B,K)."""
+    """heatmaps (B,K,H,W); xi, yi int32 of shape (B,K) or (B,K,P) — extra
+    trailing candidate dims gather along the flattened map. Clamped."""
     B, K, H, W = heatmaps.shape
     xi = jnp.clip(xi, 0, W - 1)
     yi = jnp.clip(yi, 0, H - 1)
     flat = heatmaps.reshape(B, K, H * W)
-    return jnp.take_along_axis(flat, (yi * W + xi)[..., None], axis=-1)[..., 0]
+    idx = yi * W + xi
+    if idx.ndim == flat.ndim - 1:
+        return jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+    return jnp.take_along_axis(flat, idx, axis=-1)
 
 
 def quarter_offset_refine(heatmaps, coords):
-    """Classic MSRA +/-0.25 px shift toward the higher neighbor."""
+    """Classic MSRA +/-0.25 px shift toward the higher neighbor.
+
+    coords: (..., 2) integer-valued peak positions — (B, K, 2) for the
+    top-down decode, (B, K, P, 2) for bottom-up per-joint candidates
+    (ops/ae_decode.py); border peaks are left unshifted."""
     xi = coords[..., 0].astype(jnp.int32)
     yi = coords[..., 1].astype(jnp.int32)
     dx = _gather_hm(heatmaps, xi + 1, yi) - _gather_hm(heatmaps, xi - 1, yi)

@@ -10,8 +10,15 @@ inter-layer activation in bf16 (52.7 MB/img): still bandwidth-bound.
 
 The fix is an inference *engine* (the TensorRT-style build step, TPU
 flavor): fold everything affine into the convolutions and store the
-activations themselves as int8, which halves the HBM traffic that
-dominates the runtime:
+activations themselves as int8, cutting the HBM traffic the bf16
+program is bound by. Measured outcome (v5e, batch 128 R50 256x192):
+the byte cut is real — 34.4 MB/img vs 46.4 (intercept int8) and 60.6
+(bf16) by XLA cost analysis — but throughput lands at PARITY with the
+intercept path (13.9k vs 14.1k img/s): once the convs run int8 and the
+activations shrink, the per-element round/clip/requant epilogues make
+the program VPU-bound rather than HBM-bound. The engine's enduring
+value is the folded uint8 normalize (zero input-quantization error)
+and the self-contained, model-code-free conv DAG. Mechanics:
 
   - BatchNorm folds into the conv weights/bias (W' = W*g/sqrt(v+eps)).
   - The ImageNet uint8 normalize folds into the first conv: x_i8 =
