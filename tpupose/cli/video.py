@@ -107,19 +107,34 @@ def run_video(cfg, frames_dir: str, output_dir: str, weights: str = "",
 
             pstate, _ = restore_path(pstate, pose_ckpt)
         pose_scales = None
-        if cfg.eval.int8:
+        max_persons = min(cfg.eval.max_detections, 16)
+        if cfg.eval.int8 and frames:
             from tpupose.engine.predictor import HeatmapPredictor
+            from tpupose.engine.two_stage import person_crops
 
-            if frames:
-                crop = np.asarray(Image.open(frames[0]).convert("RGB")
-                                  .resize((pW, pH)), np.uint8)[None]
-                pose_scales = HeatmapPredictor.calibrate_int8(pstate, crop)
-                printT(f"int8 serving: stage-2 pose calibrated "
-                       f"({len(pose_scales)} layers)")
+            # calibrate on what stage 2 actually sees at inference: tight
+            # person crops warped out of the first frame by the detector's
+            # boxes (a squashed full frame has different activation
+            # statistics and would miscalibrate the per-layer scales)
+            first = np.asarray(Image.open(frames[0]).convert("RGB")
+                               .resize((W, H)), np.uint8)[None]
+            det = predictor(first)
+            crops, _, _ = person_crops(
+                jnp.asarray(first), jnp.asarray(det["boxes"][:, :max_persons]),
+                jnp.asarray(det["valid"][:, :max_persons]), (pH, pW),
+                udp=pcfg.data.udp)
+            keep = np.asarray(det["valid"][0, :max_persons]).astype(bool)
+            calib = np.asarray(crops).astype(np.uint8)
+            calib = calib[keep] if keep.any() else calib[:1]
+            pose_scales = HeatmapPredictor.calibrate_int8(pstate, calib)
+            printT(f"int8 serving: stage-2 pose calibrated on "
+                   f"{len(calib)} person crops ({len(pose_scales)} layers)")
         two_stage = TwoStagePosePredictor(
             pstate, crop_size=(pH, pW),
             heatmap_size=tuple(pcfg.model.heatmap_size),
-            max_persons=min(cfg.eval.max_detections, 16),
+            max_persons=max_persons,
+            decode=pcfg.eval.decode,
+            udp=pcfg.data.udp,
             quant_scales=pose_scales)
         n_kpts = pcfg.model.num_keypoints
 

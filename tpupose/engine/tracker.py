@@ -13,9 +13,15 @@ tiny while all heavy compute (detector, pose, features) stays on device.
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 
 import numpy as np
+
+# keypoint trajectory kept per track (for downstream consumers, e.g.
+# temporal smoothing / action features); bounded so hour-long videos
+# don't grow memory without limit
+HISTORY_LEN = 64
 
 
 @dataclass
@@ -26,7 +32,8 @@ class Track:
     keypoints: np.ndarray           # (K, 3)
     age: int = 0                    # frames since last match
     hits: int = 1
-    history: list = field(default_factory=list)
+    history: deque = field(
+        default_factory=lambda: deque(maxlen=HISTORY_LEN))
 
 
 def _iou(a, b):
@@ -98,9 +105,9 @@ class PoseTracker:
 
         for d in range(N):
             if d not in matched_d:
-                self.tracks.append(Track(self._next_id, boxes[d], features[d],
-                                         keypoints[d],
-                                         history=[keypoints[d]]))
+                self.tracks.append(Track(
+                    self._next_id, boxes[d], features[d], keypoints[d],
+                    history=deque([keypoints[d]], maxlen=HISTORY_LEN)))
                 self._next_id += 1
 
         return [(t.track_id, t.box, t.keypoints)

@@ -19,8 +19,6 @@ carry a degenerate identity box and are masked by `valid`.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,6 +37,31 @@ def boxes_to_center_scale(boxes_xyxy, aspect: float, padding: float = 1.25):
     center = jnp.stack([cx, cy], -1)
     scale = jnp.stack([w2, h2], -1) * padding
     return center, scale
+
+
+def person_crops(frames, boxes, valid, crop_size, padding: float = 1.25,
+                 udp: bool = False):
+    """Warp detector boxes out of frames on device.
+
+    frames (B, Hf, Wf, 3); boxes (B, D, 4) xyxy frame px; valid (B, D).
+    Returns (crops (B*D, H, W, 3), center (B*D, 2), scale (B*D, 2)) —
+    the shared crop front-end of the two-stage step, also usable alone
+    (e.g. to harvest representative crops for int8 calibration)."""
+    from tpupose.ops.affine import get_affine_matrix
+    from tpupose.ops.pallas_warp import crops_from_frames_auto
+
+    B, D = boxes.shape[0], boxes.shape[1]
+    H, W = crop_size
+    aspect = W / H
+    # invalid slots: replace with a safe unit box at the frame corner
+    safe = jnp.asarray([0.0, 0.0, 2.0, 2.0])
+    bx = jnp.where(valid[..., None] > 0, boxes, safe)
+    center, scale = boxes_to_center_scale(bx, aspect, padding)
+    center = center.reshape(B * D, 2)
+    scale = scale.reshape(B * D, 2)
+    mats = jax.vmap(lambda c, s: get_affine_matrix(
+        c, s, 0.0, (H, W), udp=udp))(center, scale)
+    return crops_from_frames_auto(frames, mats, (H, W)), center, scale
 
 
 class TwoStagePosePredictor:
@@ -68,28 +91,20 @@ class TwoStagePosePredictor:
         # unit-length crop/back-projection convention (match the pose
         # model's training, cfg.data.udp)
         self.udp = udp
-        self._step = jax.jit(partial(self._pose_step))
+        # decode/udp/quant_scales/crop_size are baked into the trace at
+        # the first call; construct a new predictor to change them
+        self._step = jax.jit(self._pose_step)
 
     def _pose_step(self, state, frames, boxes, valid):
         """frames (B, Hf, Wf, 3) uint8/float; boxes (B, D, 4) xyxy frame px;
         valid (B, D) -> coords (B, D, K, 2) frame px, scores (B, D, K)."""
-        from tpupose.ops.affine import (affine_transform_points,
-                                        get_affine_matrix)
+        from tpupose.ops.affine import transform_preds
         from tpupose.ops.decode import decode_heatmaps
-        from tpupose.ops.pallas_warp import crops_from_frames_auto
         from tpupose.ops.preprocess import normalize_images
 
         B, D = boxes.shape[0], boxes.shape[1]
-        H, W = self.crop_size
-        aspect = W / H
-        # invalid slots: replace with a safe unit box at the frame corner
-        safe = jnp.asarray([0.0, 0.0, 2.0, 2.0])
-        bx = jnp.where(valid[..., None] > 0, boxes, safe)
-        center, scale = boxes_to_center_scale(bx, aspect, self.padding)
-        mats = jax.vmap(lambda c, s: get_affine_matrix(
-            c, s, 0.0, (H, W), udp=self.udp))(
-            center.reshape(B * D, 2), scale.reshape(B * D, 2))
-        crops = crops_from_frames_auto(frames, mats, (H, W))  # (B*D,H,W,3)
+        crops, center, scale = person_crops(
+            frames, boxes, valid, self.crop_size, self.padding, self.udp)
         x = normalize_images(crops)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
@@ -102,10 +117,9 @@ class TwoStagePosePredictor:
             hm = state.apply_fn(variables, x, train=False)     # (B*D,Hh,Wh,K)
         hm = jnp.transpose(hm, (0, 3, 1, 2))
         coords, scores = decode_heatmaps(hm, self.decode)
-        back = jax.vmap(lambda c, ct, sc: affine_transform_points(
-            c, get_affine_matrix(ct, sc, 0.0, self.heatmap_size,
-                                 udp=self.udp)))
-        src = back(coords, center.reshape(B * D, 2), scale.reshape(B * D, 2))
+        src = jax.vmap(lambda c, ct, sc: transform_preds(
+            c, ct, sc, self.heatmap_size, udp=self.udp))(
+            coords, center, scale)
         K = src.shape[-2]
         return (src.reshape(B, D, K, 2), scores.reshape(B, D, K))
 
@@ -146,9 +160,18 @@ class TwoStagePosePredictor:
 
     def __call__(self, frames):
         """frames (B, Hf, Wf, 3) uint8 -> dict with detector boxes + refined
-        keypoints (B, D, K, 3) [x, y, score] in frame pixels."""
+        keypoints (B, D, K, 3) [x, y, score] in frame pixels.
+
+        When the detector exposes `dispatch` (YoloPosePredictor does),
+        the two stages chain fully on device — one frame upload, one
+        result fetch, no host sync between stages. The dict fallback
+        (arbitrary detector callables) pays the extra round trip."""
         if self.detector is None:
             raise ValueError("no detector attached; use pose_from_boxes")
+        if hasattr(self.detector, "dispatch"):
+            arr = jnp.asarray(frames)
+            return self.fetch(self.dispatch_from_det(
+                arr, self.detector.dispatch(arr)))
         det = self.detector(frames)
         D = self.max_persons
         boxes = det["boxes"][:, :D]
