@@ -145,3 +145,60 @@ def test_decode_warp_batch_matches_pil_path(tmp_path):
         diff = np.abs(a["image"].astype(np.float32)
                       - b["image"].astype(np.float32))
         assert diff.mean() < 4.0, diff.mean()
+
+
+def test_dct_prescale_subpixel_alignment(tmp_path):
+    """A white Gaussian dot at a known source position must land at its
+    projected crop position to sub-pixel accuracy even when the decode
+    runs heavily DCT-prescaled (the matrix rescale uses the pixel-center
+    convention (x+0.5)*rx-0.5; plain x*rx shifts ~0.4 px at 1/8 scale)."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from tpupose.data.native_io import decode_warp_batch, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+
+    W0 = H0 = 1600
+    dot = (801.0, 777.0)
+    yy, xx = np.mgrid[0:H0, 0:W0]
+    g = np.exp(-(((xx - dot[0]) ** 2 + (yy - dot[1]) ** 2)
+                 / (2 * 24.0 ** 2)))
+    img = np.repeat((g * 255).astype(np.uint8)[..., None], 3, -1)
+    path = tmp_path / "dot.jpg"
+    Image.fromarray(img).save(path, quality=97)
+
+    # dst->src: 64x64 crop of a 1024x1024 window centered on the dot ->
+    # 16 src px per dst px -> libjpeg decodes at 1/8 scale
+    s = 1024.0 / 64.0
+    m = np.array([[s, 0.0, dot[0] - s * 32.0],
+                  [0.0, s, dot[1] - s * 32.0]], np.float32)
+    imgs, ok = decode_warp_batch([str(path)], m[None], 64, 64)
+    assert ok.all()
+    crop = imgs[0, :, :, 0].astype(np.float64)
+    ys, xs = np.mgrid[0:64, 0:64]
+    w = crop / crop.sum()
+    cx, cy = float((xs * w).sum()), float((ys * w).sum())
+    # expected dst position of the dot: m^{-1} @ dot = (32, 32)
+    assert abs(cx - 32.0) < 0.15, cx
+    assert abs(cy - 32.0) < 0.15, cy
+
+
+def test_pil_crop_matches_matrix_convention():
+    """pil_affine_crop samples at m @ (x, y) like the native/device warps
+    (PIL's raw transform is off by half a pixel times the scale)."""
+    import numpy as np
+
+    from tpupose.data.coco import pil_affine_crop
+
+    H0 = W0 = 64
+    ramp = (np.arange(W0, dtype=np.float32)[None, :].repeat(H0, 0) * 3.0)
+    img = np.repeat(ramp.astype(np.uint8)[..., None], 3, -1)
+    m = np.array([[2.0, 0.0, 5.0], [0.0, 2.0, 7.0]], np.float32)
+    crop = pil_affine_crop(img, m, (16, 16)).astype(np.float32)
+    xs = np.arange(16, dtype=np.float32)
+    expected = (2.0 * xs + 5.0) * 3.0            # src = m @ (x, y)
+    got = crop[4, :, 0]
+    assert np.abs(got - expected).max() <= 1.0, (got, expected)

@@ -24,6 +24,37 @@ from tpupose.utils.logging import printT, printW
 COCO_NUM_KEYPOINTS = 17
 
 
+def fit_aspect(w: float, h: float, aspect: float):
+    """Grow (never shrink) a box to the target aspect = W/H — the shared
+    MSRA crop-shape rule (also used by mpii.py and the half-body crop)."""
+    if w > aspect * h:
+        h = w / aspect
+    else:
+        w = h * aspect
+    return w, h
+
+
+def pil_affine_crop(img: np.ndarray, m: np.ndarray, out_hw) -> np.ndarray:
+    """PIL crop under THIS repo's matrix convention: src = m @ (x, y, 1).
+
+    PIL's Image.transform samples at m @ (x+0.5, y+0.5) - 0.5 (verified
+    empirically; its docs leave it implicit), i.e. content shifted by
+    m[:, :2] @ [0.5, 0.5] - 0.5 against our labels — adjust the
+    translation so the fallback path matches the native/device warps."""
+    from PIL import Image
+
+    H, W = out_hw
+    m = np.asarray(m, np.float64)
+    a, b, c = m[0]
+    d, e, f = m[1]
+    # PIL samples at a(x+.5)+b(y+.5)+c' - .5; solve c' so that equals
+    # ax+by+c: c' = c - .5(a+b) + .5 (same for the y row)
+    data = (a, b, c - 0.5 * (a + b) + 0.5, d, e, f - 0.5 * (d + e) + 0.5)
+    crop = Image.fromarray(img).transform((W, H), Image.AFFINE, data,
+                                          resample=Image.BILINEAR)
+    return np.asarray(crop, np.uint8)
+
+
 class CocoTopDownDataset:
     def __init__(self, image_dir: str, ann_file: str, image_size=(256, 192),
                  heatmap_size=(64, 48), is_train: bool = True,
@@ -123,13 +154,9 @@ class CocoTopDownDataset:
         """xywh box -> (center, scale) with the target aspect ratio and
         1.25 padding (the MSRA convention the BASELINE decode expects)."""
         H, W = self.image_size
-        aspect = W / H
         x, y, w, h = bbox
         cx, cy = x + w / 2, y + h / 2
-        if w > aspect * h:
-            h = w / aspect
-        else:
-            w = h * aspect
+        w, h = fit_aspect(w, h, W / H)
         return (np.array([cx, cy], np.float32),
                 np.array([w, h], np.float32) * self.padding)
 
@@ -167,11 +194,7 @@ class CocoTopDownDataset:
             return None
         cx, cy = float((lo[0] + hi[0]) / 2), float((lo[1] + hi[1]) / 2)
         H, W = self.image_size
-        aspect = W / H
-        if w > aspect * h:
-            h = w / aspect
-        else:
-            w = h * aspect
+        w, h = fit_aspect(w, h, W / H)
         # 1.5x the usual padding: the half-body box is tight on joints,
         # not on the body contour
         return (np.array([cx, cy], np.float32),
@@ -196,7 +219,10 @@ class CocoTopDownDataset:
             r_rotp = rng.random()
             r_rot = rng.standard_normal()
             r_flip = rng.random()
-            if (self.augment_geometry and self.half_body_prob > 0
+            # half-body only re-centers/re-scales the host crop, so it is
+            # compatible with the device-affine pipeline too (where
+            # augment_geometry=False moves rotation/scale jitter on device)
+            if (self.half_body_prob > 0
                     and int((vis > 0).sum()) > self.half_body_min_joints
                     and rng.random() < self.half_body_prob):
                 hb = self._half_body_center_scale(joints_src, vis, rng)
@@ -260,29 +286,29 @@ class CocoTopDownDataset:
             m[0, 2] += s["width"] - 1
         return m
 
+    def _pil_crop(self, s, center, scale, rot, flipped) -> np.ndarray:
+        """Per-item host crop (the PIL fallback / non-JPEG path): decode,
+        flip, warp with the SAME dst->src matrix the native/device warps
+        use (pil_affine_crop corrects PIL's half-pixel convention)."""
+        from tpupose.ops.affine import get_affine_matrix_np
+
+        img = self._read_image(s["file_name"])
+        if flipped:
+            img = img[:, ::-1]
+        m = get_affine_matrix_np(center, scale, rot, self.image_size,
+                                 udp=self.udp)
+        return pil_affine_crop(img, m, self.image_size)
+
     def __getitem__(self, idx: int) -> dict:
         s, center, scale, rot, flipped, joints_src, vis = self._sample_params(idx)
-        H, W = self.image_size
 
         # Source images vary in size, so the crop to the fixed (H, W) input
         # happens on the host with the SAME dst->src matrix the device ops
         # use; fixed-size batches then flow uint8 to the device. get_batch
         # fuses decode+warp in C++ (tpupose/native/io.cc) — this per-item
         # path is the PIL fallback and the non-JPEG path.
-        from PIL import Image
-
-        img = self._read_image(s["file_name"])
-        if flipped:
-            img = img[:, ::-1]
-        from tpupose.ops.affine import get_affine_matrix_np
-
-        m = get_affine_matrix_np(center, scale, rot, self.image_size,
-                                 udp=self.udp)
-        crop = Image.fromarray(img).transform(
-            (W, H), Image.AFFINE, tuple(m.reshape(-1)),
-            resample=Image.BILINEAR)
         out = self._labels(s, center, scale, rot, flipped, joints_src, vis)
-        out["image"] = np.asarray(crop, np.uint8)
+        out["image"] = self._pil_crop(s, center, scale, rot, flipped)
         return out
 
     def get_batch(self, indices) -> list:
@@ -300,11 +326,17 @@ class CocoTopDownDataset:
                 self._flip_folded_matrix(s, c, sc, r, fl)
                 for (s, c, sc, r, fl, _, _) in params])
             H, W = self.image_size
-            imgs = decode_warp_batch(paths, mats, H, W,
-                                     num_threads=self.decode_threads)
-            if imgs is not None:
+            res = decode_warp_batch(paths, mats, H, W,
+                                    num_threads=self.decode_threads)
+            if res is not None:
+                imgs, ok = res
                 out = []
-                for img, (s, c, sc, r, fl, js, v) in zip(imgs, params):
+                for img, good, (s, c, sc, r, fl, js, v) in zip(
+                        imgs, ok, params):
+                    if not good:
+                        # decode failed (zero-filled image): kill the
+                        # labels too, or the model trains joints on black
+                        v = np.zeros_like(v)
                     d = self._labels(s, c, sc, r, fl, js, v)
                     d["image"] = img
                     out.append(d)
@@ -314,20 +346,7 @@ class CocoTopDownDataset:
         out = []
         for (s, c, sc, r, fl, js, v) in params:
             d = self._labels(s, c, sc, r, fl, js, v)
-            from PIL import Image
-
-            from tpupose.ops.affine import get_affine_matrix_np
-
-            img = self._read_image(s["file_name"])
-            if fl:
-                img = img[:, ::-1]
-            H, W = self.image_size
-            m = get_affine_matrix_np(c, sc, r, self.image_size,
-                                     udp=self.udp)
-            crop = Image.fromarray(img).transform(
-                (W, H), Image.AFFINE, tuple(m.reshape(-1)),
-                resample=Image.BILINEAR)
-            d["image"] = np.asarray(crop, np.uint8)
+            d["image"] = self._pil_crop(s, c, sc, r, fl)
             out.append(d)
         return out
 

@@ -123,14 +123,11 @@ class MpiiTopDownDataset(CocoTopDownDataset):
         """Stored MPII center/scale -> pixel (w, h) box with the model's
         aspect ratio. padding defaults to 1.0: the MSRA *1.25 is already
         folded into scale0 at parse time (no double padding)."""
+        from tpupose.data.coco import fit_aspect
+
         H, W = self.image_size
-        aspect = W / H
         side = float(s["scale0"]) * 200.0
-        w, h = side, side
-        if w > aspect * h:
-            h = w / aspect
-        else:
-            w = h * aspect
+        w, h = fit_aspect(side, side, W / H)
         return (s["center0"].astype(np.float32).copy(),
                 np.array([w, h], np.float32) * self.padding)
 

@@ -50,8 +50,11 @@ def get_lib():
             return None
         # a stale .so built before a symbol was added must not crash the
         # loader path — rebuild once, else fall back to PIL
+        # tp_io_version gates ABI changes: a .so built before a signature
+        # change lacks the marker and is rebuilt instead of crashing
         needed = ("tp_decode_jpeg_resize", "tp_decode_jpeg_batch",
-                  "tp_parse_yolo_label", "tp_decode_warp_batch")
+                  "tp_parse_yolo_label", "tp_decode_warp_batch",
+                  "tp_io_version")
         if not all(hasattr(lib, s) for s in needed):
             printW("native io library is stale (missing symbols); rebuilding")
             del lib
@@ -84,7 +87,8 @@ def get_lib():
         lib.tp_decode_warp_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
         lib.tp_decode_warp_batch.restype = ctypes.c_int
         _lib = lib
         printT("native io runtime loaded")
@@ -127,7 +131,17 @@ def parse_yolo_label(path: str, cols: int, max_rows: int = 256):
             return np.zeros((0, cols), np.float32)
         if r < 0:
             return None
-        return buf[: min(r, max_rows)].copy()
+        if r > max_rows:
+            # the file holds more rows than the buffer: re-read with an
+            # exact-size buffer so no instance is silently dropped (the
+            # Python fallback returns all rows; the native path must too)
+            buf = np.zeros((r, cols), np.float32)
+            r = lib.tp_parse_yolo_label(
+                path.encode(),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), r, cols)
+            if r < 0:
+                return None
+        return buf[:r].copy()
     # python fallback
     if not os.path.exists(path):
         return np.zeros((0, cols), np.float32)
@@ -148,8 +162,10 @@ def decode_warp_batch(paths, matrices, out_h: int, out_w: int,
     """Fused JPEG decode + 2x3 affine crop on the C++ thread pool.
 
     paths: N file paths; matrices: (N, 2, 3) float32 dst->src in FULL-RES
-    source pixels. Returns (N, out_h, out_w, 3) uint8, or None when the
-    native library is unavailable (callers fall back to the PIL path).
+    source pixels. Returns (images (N, out_h, out_w, 3) uint8, ok (N,)
+    bool — False for slots whose decode failed and was zero-filled, so
+    callers can invalidate the labels too), or None when the native
+    library is unavailable (callers fall back to the PIL path).
     """
     lib = get_lib()
     if lib is None:
@@ -157,11 +173,13 @@ def decode_warp_batch(paths, matrices, out_h: int, out_w: int,
     n = len(paths)
     mats = np.ascontiguousarray(np.asarray(matrices, np.float32).reshape(n, 6))
     out = np.empty((n, out_h, out_w, 3), np.uint8)
+    ok = np.ones(n, np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     fails = lib.tp_decode_warp_batch(
         arr, mats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
         out_h, out_w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        num_threads)
+        num_threads, ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if fails:
-        printW(f"native decode+warp: {fails}/{n} failures (zero-filled)")
-    return out
+        printW(f"native decode+warp: {fails}/{n} failures "
+               f"(zero-filled, labels invalidated)")
+    return out, ok.astype(bool)

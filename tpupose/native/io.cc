@@ -49,6 +49,9 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst,
     if (y0 < 0) y0 = 0;  // 1-pixel-tall sources: sh-2 is -1
     float wy = fy - y0;
     if (wy < 0) wy = 0;
+    if (wy > 1) wy = 1;  // upscaling: fy can pass sh-1 after the y0 clamp;
+                         // an unclamped weight goes negative (UB on the
+                         // uint8 cast) — clamp-to-edge instead
     const int y1 = y0 + 1 <= sh - 1 ? y0 + 1 : y0;  // second tap in-bounds
     const uint8_t* r0 = src + static_cast<size_t>(y0) * sw * 3;
     const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
@@ -60,6 +63,7 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst,
       if (x0 < 0) x0 = 0;  // 1-pixel-wide sources
       float wx = fx - x0;
       if (wx < 0) wx = 0;
+      if (wx > 1) wx = 1;
       const int x1 = x0 + 1 <= sw - 1 ? x0 + 1 : x0;
       const float w00 = (1 - wy) * (1 - wx), w01 = (1 - wy) * wx;
       const float w10 = wy * (1 - wx), w11 = wy * wx;
@@ -150,15 +154,23 @@ int decode_jpeg(const char* path, float shrink, std::vector<uint8_t>* buf,
 
 extern "C" {
 
+// ABI version marker: native_io.py requires this symbol so a stale .so
+// built before a signature change triggers a rebuild instead of a crash.
+int tp_io_version() { return 2; }
+
 // Fused decode + affine crop: for each item, decode paths[i] (DCT-
 // prescaled to the crop's scale) and warp with the 2x3 dst->src matrix
 // mats[i*6..] (in FULL-RESOLUTION source pixel coords) into
 // out[i] (out_h, out_w, 3). The matrix is rescaled internally when the
 // DCT prescale kicks in. Threaded; returns failure count (failed slots
-// are zero-filled). This is the host half of the top-down input pipeline:
-// JPEG -> person crop in one pass, no full-size RGB round trip in Python.
+// are zero-filled, and ok[i] = 0 when `ok` is non-null so the caller can
+// drop the labels too — a black image with live joints would otherwise
+// train on garbage). This is the host half of the top-down input
+// pipeline: JPEG -> person crop in one pass, no full-size RGB round trip
+// in Python.
 int tp_decode_warp_batch(const char** paths, const float* mats, int n,
-                         int out_h, int out_w, uint8_t* out, int n_threads) {
+                         int out_h, int out_w, uint8_t* out, int n_threads,
+                         uint8_t* ok) {
   if (n_threads < 1) n_threads = 1;
   std::atomic<int> next(0), failures(0);
   const size_t stride = static_cast<size_t>(out_h) * out_w * 3;
@@ -167,6 +179,7 @@ int tp_decode_warp_batch(const char** paths, const float* mats, int n,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
+      if (ok) ok[i] = 1;
       const float* m = mats + static_cast<size_t>(i) * 6;
       // source pixels per dst pixel (column norms) -> decode shrink
       const float sx = std::sqrt(m[0] * m[0] + m[3] * m[3]);
@@ -177,12 +190,20 @@ int tp_decode_warp_batch(const char** paths, const float* mats, int n,
                       &fw, &fh)) {
         failures.fetch_add(1);
         std::memset(out + stride * i, 0, stride);
+        if (ok) ok[i] = 0;
         continue;
       }
       const float rx = static_cast<float>(w) / fw;
       const float ry = static_cast<float>(h) / fh;
-      const float madj[6] = {m[0] * rx, m[1] * rx, m[2] * rx,
-                             m[3] * ry, m[4] * ry, m[5] * ry};
+      // index mapping between the full-res and DCT-prescaled grids is
+      // x_s = (x_f + 0.5) * rx - 0.5 (pixel centers align, same
+      // convention as resize_bilinear above) — scaling the translation
+      // by rx alone would shift every heavily-downscaled crop ~0.4 px
+      // against its labels
+      const float madj[6] = {m[0] * rx, m[1] * rx,
+                             (m[2] + 0.5f) * rx - 0.5f,
+                             m[3] * ry, m[4] * ry,
+                             (m[5] + 0.5f) * ry - 0.5f};
       warp_affine(buf.data(), h, w, madj, out + stride * i, out_h, out_w);
     }
   };
@@ -279,8 +300,12 @@ int tp_parse_yolo_label(const char* path, float* out, int max_rows,
   FILE* f = fopen(path, "r");
   if (!f) return -2;
   int rows = 0;
-  char line[8192];
-  while (fgets(line, sizeof(line), f)) {
+  // 64 KiB line buffer: a 512-float row of full-precision decimals tops
+  // out near 12 KiB; a line longer than the buffer would split mid-number
+  // and misreport the file as malformed
+  static thread_local std::vector<char> linebuf(65536);
+  char* line = linebuf.data();
+  while (fgets(line, static_cast<int>(linebuf.size()), f)) {
     char* p = line;
     int got = 0;
     float vals[512];
