@@ -154,3 +154,104 @@ def test_epe_metric():
     m = EPE()
     m.update(pred, gt, vis)
     np.testing.assert_allclose(m.compute()["epe"], 5.0 / 3.0, atol=1e-6)
+
+
+def _one_gt(K=17, at=(50.0, 50.0), spread=30.0):
+    gk = np.zeros((1, K, 2), np.float32)
+    gk[0, :, 0] = at[0] + np.linspace(0, spread, K)
+    gk[0, :, 1] = at[1] + np.linspace(0, spread, K)
+    gv = np.ones((1, K), np.float32)
+    ga = np.asarray([40.0 * 40.0], np.float32)   # medium range
+    return gk, gv, ga
+
+
+def test_oksap_zero_visible_gt_is_ignore_region():
+    """pycocotools semantics: a num_keypoints==0 annotation is an ignore
+    region — out of the recall denominator, and a detection landing on it
+    (bbox-proximity OKS) is dropped from the ranking, not an FP."""
+    from tpupose.metrics.oks_ap import OKSAP
+
+    K = 17
+    gk, gv, ga = _one_gt(K)
+    # second GT: no visible joints, bbox elsewhere
+    gk2 = np.concatenate([gk, np.zeros((1, K, 2), np.float32)])
+    gv2 = np.concatenate([gv, np.zeros((1, K), np.float32)])
+    ga2 = np.concatenate([ga, [60.0 * 60.0]]).astype(np.float32)
+    gb2 = np.asarray([[40, 40, 50, 50], [200, 200, 60, 60]], np.float32)
+
+    # perfect pred of the labeled GT + a spurious det inside the ignore
+    # bbox, OUTSCORING the real one
+    pk = np.concatenate([gk, np.full((1, K, 2), 220.0, np.float32)])
+    ps = np.asarray([0.9, 0.95], np.float32)
+    ap = OKSAP(num_classes=1)
+    ap.update(pk, ps, gk2, gv2, ga2, gt_bbox=gb2)
+    out = ap.compute()
+    assert out["mAP"] == 1.0, out
+    # without the bbox info the ignore region cannot absorb the spurious
+    # det, but the zero-visible GT still must not enter the denominator
+    ap2 = OKSAP(num_classes=1)
+    ap2.update(gk.copy(), np.asarray([0.9], np.float32), gk2, gv2, ga2)
+    assert ap2.compute()["mAP"] == 1.0
+
+
+def test_oksap_max_dets_cap():
+    """COCO keypoints evaluates @ maxDets=20: detections past the top-20
+    by score never enter the ranking."""
+    from tpupose.metrics.oks_ap import OKSAP
+
+    K = 17
+    gk, gv, ga = _one_gt(K)
+    # 21 dets: 20 misses outscoring 1 perfect prediction
+    pk = np.concatenate([np.full((20, K, 2), 500.0, np.float32), gk])
+    ps = np.concatenate([np.linspace(0.9, 0.5, 20),
+                         [0.1]]).astype(np.float32)
+    ap = OKSAP(num_classes=1, max_dets=20)
+    ap.update(pk, ps, gk, gv, ga)
+    assert ap.compute()["mAP"] == 0.0
+    ap_all = OKSAP(num_classes=1, max_dets=100)
+    ap_all.update(pk, ps, gk, gv, ga)
+    assert ap_all.compute()["mAP"] > 0.0
+
+
+def test_oksap_ignored_gt_matched_once():
+    """A non-crowd ignored GT absorbs ONE detection; a second detection
+    overlapping it counts as FP (pycocotools gtm marking)."""
+    from tpupose.metrics.oks_ap import OKSAP
+
+    K = 17
+    gk, gv, ga = _one_gt(K)                      # medium GT (in M range)
+    big = np.zeros((1, K, 2), np.float32)        # large GT -> ignored in M
+    big[0, :, 0] = 300 + np.linspace(0, 150, K)
+    big[0, :, 1] = 300 + np.linspace(0, 150, K)
+    gk2 = np.concatenate([gk, big])
+    gv2 = np.concatenate([gv, gv])
+    ga2 = np.concatenate([ga, [150.0 * 150.0]]).astype(np.float32)
+
+    # dets: B and C both sit exactly on the large GT; A matches the
+    # medium GT. C outscores A. Explicit pred areas keep all three dets
+    # inside the M range so the unmatched-det area rule doesn't hide C.
+    A = gk.copy()
+    B = big.copy()
+    C = big.copy() + 0.5
+    pk = np.concatenate([A, B, C])
+    ps = np.asarray([0.5, 0.95, 0.9], np.float32)
+    pa = np.full(3, 40.0 * 40.0, np.float32)
+    ap = OKSAP(num_classes=1)
+    ap.update(pk, ps, gk2, gv2, ga2, pred_area=pa)
+    out = ap.compute()
+    # in the M range: B takes the ignored large GT, C becomes an FP that
+    # outranks A -> AP_M ~0.5; double-dropping both would report 1.0
+    assert out["AP_M"] < 0.9, out
+
+
+def test_oksap_empty_compute_schema():
+    """compute() with no GT returns the full key set at the COCO 'not
+    evaluated' sentinel, same schema as the normal path."""
+    from tpupose.metrics.oks_ap import OKSAP
+
+    out = OKSAP(num_classes=2).compute()
+    for k in ("mAP", "mAP50", "mAP75", "AP_M", "AP_L", "AR", "AR50",
+              "AR75", "AR_M", "AR_L"):
+        assert out[k] == -1.0, (k, out)
+    assert out["per_class"].shape == (2,)
+    assert (out["per_class"] == -1.0).all()

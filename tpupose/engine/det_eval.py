@@ -82,7 +82,9 @@ class DetectionCropDataset(CocoTopDownDataset):
         img_info = {im["id"]: im for im in ann["images"]}
 
         # GT instances per image (for OKS-AP scoring). iscrowd GTs are
-        # skipped — tpupose OKSAP's ignore semantics are area-range based.
+        # skipped; zero-visible-keypoint GTs are KEPT — OKSAP treats them
+        # as COCO ignore regions (out of the recall denominator, matched
+        # detections dropped from the ranking via the bbox-proximity OKS).
         self.gt_by_image: dict = {iid: [] for iid in img_info}
         n_crowd = 0
         for a in ann.get("annotations", []):
@@ -93,7 +95,8 @@ class DetectionCropDataset(CocoTopDownDataset):
             x, y, w, h = a.get("bbox", [0, 0, 1, 1])
             self.gt_by_image[a["image_id"]].append((
                 kp[:, :2], (kp[:, 2] > 0).astype(np.float32),
-                float(a.get("area", w * h))))
+                float(a.get("area", w * h)),
+                np.asarray([x, y, w, h], np.float32)))
         if n_crowd:
             printW(f"det-eval: skipped {n_crowd} iscrowd GT instances")
 
@@ -231,13 +234,15 @@ def evaluate_detections(evaluator, dataset: DetectionCropDataset,
             gk = np.stack([g[0] for g in gts])
             gv = np.stack([g[1] for g in gts])
             ga = np.asarray([g[2] for g in gts], np.float32)
+            gb = np.stack([g[3] for g in gts])
         else:
             gk = np.zeros((0, K, 2), np.float32)
             gv = np.zeros((0, K), np.float32)
             ga = np.zeros(0, np.float32)
+            gb = np.zeros((0, 4), np.float32)
         if len(pk) == 0 and len(gk) == 0:
             continue
-        ap.update(pk, ps, gk, gv, ga)
+        ap.update(pk, ps, gk, gv, ga, gt_bbox=gb)
     if results_path is not None:
         d = os.path.dirname(results_path)
         if d:

@@ -28,6 +28,15 @@ OKS_SIGMAS = np.array([
 ], dtype=np.float32)
 
 
+def default_sigmas(num_keypoints: int) -> np.ndarray:
+    """Per-joint OKS sigmas: the COCO-17 table when it applies, a flat
+    0.05 otherwise. Shared by AP scoring and OKS-NMS so the two always
+    use the same OKS definition."""
+    if num_keypoints <= 17:
+        return OKS_SIGMAS[:num_keypoints]
+    return np.full(num_keypoints, 0.05, np.float32)
+
+
 def compute_oks(pred_kpts, gt_kpts, gt_vis, gt_area, sigmas=None):
     """OKS between prediction/GT instance pairs.
 
@@ -36,7 +45,7 @@ def compute_oks(pred_kpts, gt_kpts, gt_vis, gt_area, sigmas=None):
     """
     K = pred_kpts.shape[-2]
     if sigmas is None:
-        sigmas = OKS_SIGMAS[:K] if K <= 17 else np.full(K, 0.05, np.float32)
+        sigmas = default_sigmas(K)
     sig = jnp.asarray(sigmas, jnp.float32)
     d2 = jnp.sum(
         (pred_kpts[:, None, :, :] - gt_kpts[None, :, :, :]) ** 2, axis=-1
@@ -48,19 +57,43 @@ def compute_oks(pred_kpts, gt_kpts, gt_vis, gt_area, sigmas=None):
     num = jnp.sum(jnp.exp(-e) * vis, axis=-1)
     den = jnp.maximum(jnp.sum(vis, axis=-1), 1e-9)
     oks = num / den
-    # instances with no visible joints get OKS 0
+    # instances with no visible joints get OKS 0 here; OKSAP.update
+    # overrides such rows with the bbox-proximity fallback when the GT
+    # boxes are available (pycocotools' k1==0 branch)
     return jnp.where(jnp.sum(vis, axis=-1) > 0, oks, 0.0)
+
+
+def _bbox_fallback_oks(pred_kpts, gt_bbox, gt_area, sigmas):
+    """pycocotools' zero-visible-GT OKS: per-joint distance to the GT box
+    inflated 2x (zero inside), averaged over ALL joints. Lets detections
+    overlapping an unannotated person match (and be ignored against) it.
+    pred_kpts (N, K, 2), gt_bbox (x, y, w, h) -> (N,) OKS vs that GT."""
+    x, y, w, h = [float(v) for v in gt_bbox]
+    x0, x1 = x - w, x + 2 * w
+    y0, y1 = y - h, y + 2 * h
+    xd, yd = pred_kpts[..., 0], pred_kpts[..., 1]
+    dx = np.maximum(0.0, x0 - xd) + np.maximum(0.0, xd - x1)
+    dy = np.maximum(0.0, y0 - yd) + np.maximum(0.0, yd - y1)
+    var = (2.0 * np.asarray(sigmas, np.float64)) ** 2
+    e = (dx ** 2 + dy ** 2) / var[None, :] / (max(float(gt_area), 1e-6)
+                                              + np.spacing(1)) / 2.0
+    return np.exp(-e).mean(axis=-1)
 
 
 class OKSAP:
     """COCO-style keypoint AP with accumulate/compute/reset."""
 
-    def __init__(self, num_classes: int = 1, thresholds=None, sigmas=None):
+    def __init__(self, num_classes: int = 1, thresholds=None, sigmas=None,
+                 max_dets: int = 20):
+        """max_dets: per-image detection cap before ranking — the COCO
+        keypoint protocol evaluates AP/AR @ maxDets=20; pass a larger
+        value only to reproduce non-standard reports."""
         self.num_classes = num_classes
         self.thresholds = np.asarray(
             thresholds if thresholds is not None else np.arange(0.50, 1.0, 0.05)
         )
         self.sigmas = sigmas
+        self.max_dets = int(max_dets)
         self.reset()
 
     # COCO keypoint area ranges: (label, lo, hi)
@@ -70,20 +103,30 @@ class OKSAP:
 
     def reset(self):
         # per class: list of (scores, oks rows vs gts in that image,
-        # gt areas of those gts) — areas drive the M/L range splits
+        # gt areas, pred areas, gt base-ignore flags) — areas drive the
+        # M/L range splits; base-ignore marks zero-visible-keypoint GTs
+        # (COCO ignore regions, excluded from the recall denominator)
         self._preds = [[] for _ in range(self.num_classes)]
         self._num_gt = np.zeros(self.num_classes, np.int64)
 
     def update(self, pred_kpts, pred_scores, gt_kpts, gt_vis, gt_area,
                pred_cls=None, gt_cls=None, pred_valid=None, gt_valid=None,
-               pred_area=None):
+               pred_area=None, gt_bbox=None):
         """Accumulate one image.
 
         pred_kpts (N,K,2), pred_scores (N,), gt_kpts (M,K,2), gt_vis (M,K),
         gt_area (M,); optional class ids and padding masks. pred_area (N,)
         drives the COCO rule that an UNMATCHED detection whose own area is
         outside the evaluated range is ignored rather than an FP; when not
-        given it is approximated by the predicted-keypoint bounding box.
+        given it is approximated by the predicted-keypoint bounding box
+        over non-sentinel joints. gt_bbox (M, 4) xywh enables the
+        pycocotools bbox-proximity OKS for zero-visible GTs (detections
+        over an unannotated person are ignored rather than FPs).
+
+        GTs with no visible joint are COCO "ignore" regions: never in the
+        recall denominator; a detection whose only match is one is dropped
+        from the ranking. Only the top max_dets detections per image are
+        kept (COCO keypoints evaluates @ maxDets=20).
         """
         pred_kpts = np.asarray(pred_kpts)
         pred_scores = np.asarray(pred_scores)
@@ -96,7 +139,14 @@ class OKSAP:
         pred_valid = np.ones(N, bool) if pred_valid is None else np.asarray(pred_valid, bool)
         gt_valid = np.ones(M, bool) if gt_valid is None else np.asarray(gt_valid, bool)
         if pred_area is None:
-            span = pred_kpts.max(axis=1) - pred_kpts.min(axis=1)  # (N, 2)
+            # bbox over real joints only: decode sentinels ((-1,-1) /
+            # negative back-projections) would anchor the span far off
+            # the person and corrupt the M/L ignore decision
+            good = (pred_kpts >= 0).all(axis=-1)              # (N, K)
+            big = 1e9
+            lo = np.where(good[..., None], pred_kpts, big).min(axis=1)
+            hi = np.where(good[..., None], pred_kpts, -big).max(axis=1)
+            span = np.where(good.any(-1)[:, None], hi - lo, 0.0)
             pred_area = span[:, 0] * span[:, 1]
         pred_area = np.asarray(pred_area, np.float64)
 
@@ -104,18 +154,30 @@ class OKSAP:
             jnp.asarray(pred_kpts), jnp.asarray(gt_kpts),
             jnp.asarray(gt_vis), jnp.asarray(gt_area), self.sigmas,
         )) if N and M else np.zeros((N, M), np.float32)
+        gt_ig = (gt_vis > 0).sum(axis=-1) == 0 if M else np.zeros(0, bool)
+        if gt_bbox is not None and N and M:
+            oks = np.array(oks)   # device_get arrays are read-only
+            K = pred_kpts.shape[1]
+            sig = (self.sigmas if self.sigmas is not None
+                   else default_sigmas(K))
+            for j in np.flatnonzero(gt_ig):
+                oks[:, j] = _bbox_fallback_oks(pred_kpts, gt_bbox[j],
+                                               gt_area[j], sig)
 
         for c in range(self.num_classes):
             gsel = gt_valid & (gt_cls == c)
-            self._num_gt[c] += int(gsel.sum())
+            self._num_gt[c] += int((gsel & ~gt_ig).sum())
             psel = pred_valid & (pred_cls == c)
             if not psel.any() and not gsel.any():
                 continue
+            scores_c = pred_scores[psel]
+            keep = np.argsort(-scores_c)[: self.max_dets]
             rows = (oks[psel][:, gsel] if gsel.any()
                     else np.zeros((int(psel.sum()), 0)))
             self._preds[c].append(
-                (pred_scores[psel], rows, gt_area[gsel].astype(np.float64),
-                 pred_area[psel]))
+                (scores_c[keep], rows[keep],
+                 gt_area[gsel].astype(np.float64),
+                 pred_area[psel][keep], gt_ig[gsel]))
 
     def _pr_for_class(self, c: int, area_rng=(0.0, 1e10)):
         """Greedy matching per threshold + 101-pt precision envelope AP.
@@ -131,8 +193,8 @@ class OKSAP:
         lo, hi = area_rng
         entries = self._preds[c]
         nthr = len(self.thresholds)
-        n_gt = sum(int(((a >= lo) & (a < hi)).sum())
-                   for _, _, a, _ in entries)
+        n_gt = sum(int((~ig & (a >= lo) & (a < hi)).sum())
+                   for _, _, a, _, ig in entries)
         if not entries or n_gt == 0:
             return np.full(nthr, np.nan), np.full(nthr, np.nan)
         aps = np.zeros(nthr)
@@ -140,22 +202,28 @@ class OKSAP:
         # flatten detections keeping per-image gt association
         for ti, thr in enumerate(self.thresholds):
             scores_all, tps = [], []
-            for scores, oks_rows, areas, pareas in entries:
+            for scores, oks_rows, areas, pareas, ig_base in entries:
                 order = np.argsort(-scores)
-                in_rng = (areas >= lo) & (areas < hi)
+                # a GT is ignored when it has no visible joints OR its
+                # area is outside the evaluated range (pycocotools gtIg)
+                gt_ig = ig_base | ~((areas >= lo) & (areas < hi))
                 p_in_rng = (pareas >= lo) & (pareas < hi)
                 taken = np.zeros(oks_rows.shape[1], bool)
                 for i in order:
-                    no_gt = oks_rows.shape[1] == 0
-                    row = (np.full(1, -1.0) if no_gt
-                           else np.where(taken | ~in_rng, -1.0, oks_rows[i]))
-                    j = int(np.argmax(row))
-                    if row[j] >= thr:
+                    row = oks_rows[i] if oks_rows.shape[1] else np.zeros(0)
+                    free = ~taken & (row >= thr)
+                    primary = free & ~gt_ig
+                    if primary.any():
+                        j = int(np.argmax(np.where(primary, row, -1.0)))
                         taken[j] = True
                         scores_all.append(scores[i])
                         tps.append(True)
-                    elif not no_gt and np.any(~in_rng & (oks_rows[i] >= thr)):
-                        # matches only an ignored GT: drop from the ranking
+                    elif free.any():
+                        # best remaining match is an ignored GT: mark it
+                        # taken (one det per GT, like pycocotools' gtm for
+                        # non-crowd ignores) and drop the det from ranking
+                        j = int(np.argmax(np.where(free, row, -1.0)))
+                        taken[j] = True
                         continue
                     elif not p_in_rng[i]:
                         # unmatched det whose own area is outside the range
@@ -190,8 +258,13 @@ class OKSAP:
         per_class = np.stack([ap for ap, _ in pr["all"]])
         valid = self._num_gt > 0
         if not valid.any():
-            return {"mAP": 0.0, "mAP50": 0.0, "mAP75": 0.0,
-                    "per_class": per_class}
+            # same schema as the normal path, everything at COCO's
+            # 'not evaluated' sentinel
+            out = {k: -1.0 for k in ("mAP", "mAP50", "mAP75", "AP_M",
+                                     "AP_L", "AR", "AR50", "AR75",
+                                     "AR_M", "AR_L")}
+            out["per_class"] = np.full(self.num_classes, -1.0)
+            return out
         i50 = int(np.argmin(np.abs(self.thresholds - 0.5)))
         i75 = int(np.argmin(np.abs(self.thresholds - 0.75)))
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tpupose.metrics.oks_ap import OKS_SIGMAS
+from tpupose.metrics.oks_ap import default_sigmas
 
 
 def oks_iou(pose, others, area, other_areas, sigmas=None, kscores=None,
@@ -36,8 +36,7 @@ def oks_iou(pose, others, area, other_areas, sigmas=None, kscores=None,
     contribute (the in_vis_thre of the official implementation).
     """
     if sigmas is None:
-        K = pose.shape[0]
-        sigmas = OKS_SIGMAS[:K] if K <= 17 else np.full(K, 0.05, np.float32)
+        sigmas = default_sigmas(pose.shape[0])  # same table as AP scoring
     sigmas = np.asarray(sigmas, np.float32)
     var = (2.0 * sigmas) ** 2
     d2 = np.sum((others - pose[None]) ** 2, axis=-1)  # (N, K)
