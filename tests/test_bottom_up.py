@@ -404,9 +404,13 @@ def test_sigterm_saves_resumable_checkpoint(tmp_path):
     cfg.loss.name = "coord_mse"
 
     tr = Trainer(cfg)
+    # the handler DEFERS (the train step donates state buffers, so the
+    # save must wait for a step boundary); _check_exit_signal is the
+    # boundary hook the train loop calls after every step
     with pytest.raises(SystemExit) as exc:
         with tr._checkpoint_on_signal():
             _os.kill(_os.getpid(), _signal.SIGTERM)
+            tr._check_exit_signal()
     assert exc.value.code == 128 + _signal.SIGTERM
     # the saved checkpoint restores
     step = tr.load_checkpoint()

@@ -148,3 +148,30 @@ def test_batchloader_workers_preserve_order_and_pad_last():
     # every batch is the full static size
     assert all(b["x"].shape == (4, 2) for b in batches)
     assert batches[-1]["pad_mask"].tolist() == [True, True, False, False]
+
+
+def test_schedule_units_respect_grad_accum():
+    """optax.MultiSteps advances the schedule once per ACCUMULATED update,
+    so Builder must size warmup/decay in update units, not micro-steps."""
+    from tpupose.configs.default import default_config
+    from tpupose.engine.builder import Builder
+
+    cfg = default_config()
+    cfg.train.epochs = 10
+    cfg.train.warmup_epochs = 0
+    cfg.train.grad_accum_steps = 4
+    cfg.lr_scheduler.name = "cosine"
+    base, _ = Builder(cfg).lr_scheduler(steps_per_epoch=100)
+    peak = float(base(0))
+    # 10 epochs * (100 // 4) updates = 250 total: the cosine must be at
+    # its floor by update 250, not stretched out to 1000
+    assert float(base(250)) <= 0.02 * peak
+    assert float(base(125)) < 0.85 * peak  # mid-run decay has progressed
+
+
+def test_freeze_backbone_defaults_off():
+    """freeze_backbone must default False: a True default silently froze
+    every non-DINOv3 family's backbone at init (dinov3 yamls opt in)."""
+    from tpupose.configs.default import default_config
+
+    assert default_config().model.freeze_backbone is False

@@ -143,3 +143,51 @@ def test_dinov3_pose_forward_tiny():
     assert outs[0].shape == (1, 8, 8, 7 + 12)
     dec = m.apply(v, x, train=False)
     assert dec.shape == (1, 64 + 16 + 4, 7 + 12)
+
+
+def test_compute_loss_sample_mask_excludes_padded_rows():
+    """Per-image sample_mask zeroes a padded duplicate row's cls
+    contribution (Trainer.validate's pad_last contract): same loss with
+    and without the padded row riding along."""
+    K, ncls = 4, 3
+    loss = ComputeLoss(num_keypoints=K, num_classes=ncls, strides=(8,))
+    rng = np.random.RandomState(1)
+    p1 = rng.uniform(-1, 1, (1, 8, 8, ncls + 3 * K)).astype(np.float32)
+    t1 = _fake_targets(B=1, K=K)
+    t1 = {k: jnp.asarray(np.asarray(v)[:1]) for k, v in t1.items()}
+    a, _ = loss([jnp.asarray(p1)], t1)
+
+    p2 = np.concatenate([p1, p1])                 # duplicate row
+    t2 = {k: jnp.asarray(np.concatenate([np.asarray(v)] * 2))
+          for k, v in t1.items()}
+    mask = np.asarray(t2["instance_mask"]).copy()
+    mask[1] = False                               # padded row: no instances
+    t2["instance_mask"] = jnp.asarray(mask)
+    t2["sample_mask"] = jnp.asarray([1.0, 0.0], jnp.float32)
+    b, _ = loss([jnp.asarray(p2)], t2)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+def test_v8_loss_sample_mask_excludes_padded_rows():
+    from tpupose.losses.v8 import v8PoseLoss
+
+    K, ncls, rm = 4, 1, 4
+    loss = v8PoseLoss(num_keypoints=K, num_classes=ncls, strides=(8,),
+                      reg_max=rm)
+    C = 4 * rm + ncls + 3 * K
+    rng = np.random.RandomState(2)
+    p1 = rng.uniform(-1, 1, (1, 8, 8, C)).astype(np.float32)
+    t1 = _fake_targets(B=1, K=K)
+    t1 = {k: jnp.asarray(np.asarray(v)[:1]) for k, v in t1.items()}
+    t1["classes"] = jnp.zeros_like(t1["classes"])
+    a, _ = loss([jnp.asarray(p1)], t1)
+
+    p2 = np.concatenate([p1, p1])
+    t2 = {k: jnp.asarray(np.concatenate([np.asarray(v)] * 2))
+          for k, v in t1.items()}
+    mask = np.asarray(t2["instance_mask"]).copy()
+    mask[1] = False
+    t2["instance_mask"] = jnp.asarray(mask)
+    t2["sample_mask"] = jnp.asarray([1.0, 0.0], jnp.float32)
+    b, _ = loss([jnp.asarray(p2)], t2)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-5)

@@ -37,7 +37,11 @@ class ModelConfig:
     # single-stage (yolo-pose) options
     neck_channels: tuple = (192, 384, 768)
     strides: tuple = (8, 16, 32)
-    freeze_backbone: bool = True        # reference freezes DINOv3 (HPE/models/pose.py:47-49)
+    freeze_backbone: bool = False       # dinov3 configs set true (the
+                                        # reference freezes DINOv3,
+                                        # HPE/models/pose.py:47-49); a True
+                                        # default silently froze every OTHER
+                                        # family's backbone at init
     kpt_dim: int = 3                    # (x, y, visibility)
     reg_max: int = 0                    # >0: v8 DFL box branch (required by loss v8_pose)
 

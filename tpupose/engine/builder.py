@@ -163,20 +163,26 @@ class Builder:
     # -- optimizer + schedule ---------------------------------------------------
     def lr_scheduler(self, steps_per_epoch: int):
         t = self.cfg.train
-        total = t.epochs * steps_per_epoch
-        warmup = t.warmup_epochs * steps_per_epoch
+        # with gradient accumulation, optax.MultiSteps advances the inner
+        # schedule once per ACCUMULATED update — build the schedule in
+        # update units or warmup/decay stretch by grad_accum_steps
+        k = max(1, t.grad_accum_steps)
+        upd_per_epoch = max(1, steps_per_epoch // k)
+        total = t.epochs * upd_per_epoch
+        warmup = t.warmup_epochs * upd_per_epoch
         base = make_schedule(self.cfg.lr_scheduler, self.cfg.optimizer.lr,
-                             total, warmup, steps_per_epoch)
+                             total, warmup, upd_per_epoch)
         head = make_schedule(self.cfg.lr_scheduler, self.cfg.optimizer.head_lr,
-                             total, warmup, steps_per_epoch)
+                             total, warmup, upd_per_epoch)
         return base, head
 
     def optimizer(self, params, steps_per_epoch: int, split_lr: bool = True):
         base_sched, head_sched = self.lr_scheduler(steps_per_epoch)
         is_frozen = is_backbone_path if self.cfg.model.freeze_backbone else None
-        is_head = None
-        if split_lr and not self.cfg.model.freeze_backbone:
-            is_head = lambda p: not is_backbone_path(p)
+        # head/base labels are independent of freezing (frozen wins in
+        # make_optimizer) — freezing the backbone must not silently move
+        # the head from head_lr to the base lr
+        is_head = (lambda p: not is_backbone_path(p)) if split_lr else None
         tx = make_optimizer(
             self.cfg.optimizer,
             schedule=base_sched,

@@ -52,7 +52,12 @@ class Trainer:
         H, W = cfg.data.image_size
         sample = jnp.zeros((1, H, W, 3), jnp.float32)
         self.rng, init_rng = jax.random.split(self.rng)
-        params_probe = self.model.init(init_rng, sample, train=False)["params"]
+        # shape-only probe: the optimizer needs the param TREE for its
+        # path labels, not values — eval_shape avoids running a second
+        # full init (create_train_state does the real one)
+        params_probe = jax.eval_shape(
+            lambda r: self.model.init(r, sample, train=False),
+            init_rng)["params"]
         tx = self.builder.optimizer(params_probe, steps_per_epoch)
         self.state = create_train_state(
             self.model, init_rng, sample, tx,
@@ -128,6 +133,7 @@ class Trainer:
                     imgs, train=True, mutable=["batch_stats"])
                 targets = {k: batch[k] for k in
                            ("boxes", "classes", "keypoints", "instance_mask")}
+                targets["sample_mask"] = batch["sample_mask"]
                 total, _ = self.loss_fn(preds, targets)
                 return total
 
@@ -234,6 +240,7 @@ class Trainer:
         t0 = time.perf_counter()
         n_img = 0
         metrics = None
+        logged = True   # last step's metrics already counted into meters?
         profile_dir = getattr(self.cfg.train, "profile_dir", "")
         for step, db in enumerate(self._prefetched(self.train_loader)):
             if profile_dir and epoch == 0 and step == 10:
@@ -243,14 +250,19 @@ class Trainer:
             if profile_dir and epoch == 0 and step == 10:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
+            self._check_exit_signal()   # preemption: ckpt at step boundary
             n_img += db["images"].shape[0]
-            if (step + 1) % self.cfg.train.log_interval == 0 or step == 0:
+            logged = (step + 1) % self.cfg.train.log_interval == 0 or step == 0
+            if logged:
                 m = jax.device_get(metrics)
                 meters.update(m)
                 printT(f"epoch {epoch} step {step + 1}/{self.steps_per_epoch} "
                        f"loss={m['loss']:.5f} gnorm={m['grad_norm']:.3f}")
                 self.tb.add_scalars(m, int(self.state.step), prefix="train/")
-        if metrics is not None:
+        if metrics is not None and not logged:
+            # flush the final step — unless the loop body just counted it
+            # (double-updating would weight it twice in the epoch average
+            # that drives best-checkpoint selection)
             jax.block_until_ready(metrics["loss"])
             m = jax.device_get(metrics)
             meters.update(m)
@@ -279,6 +291,16 @@ class Trainer:
             pm = batch.get("pad_mask")
             db = self._prepare_batch(batch, for_eval=True)
             n_real = int(pm.sum()) if pm is not None else len(batch["images"])
+            if self.family == "yolo":
+                # per-image weight for the cls term (which scores ALL
+                # cells, not just instance positives — zeroing
+                # instance_mask alone leaves padded rows' confident
+                # predictions counted against all-zero targets).
+                # Always present so the jitted val step traces once.
+                db = dict(db)
+                db["sample_mask"] = jnp.asarray(
+                    pm.astype(np.float32) if pm is not None
+                    else np.ones(len(batch["images"]), np.float32))
             if pm is not None and not bool(pm.all()):
                 m = jnp.asarray(pm.astype(np.float32))
                 db = dict(db)
@@ -364,19 +386,26 @@ class Trainer:
             pairs = getattr(self.valid_ds, "flip_pairs", None)
             if pairs is None and self.cfg.model.num_keypoints != 17:
                 pairs = np.zeros((0, 2), np.int64)
-            # eval.int8: quantized eval serving, calibrated on the first
-            # validation batch against the CURRENT weights (ops/quant.py)
+            # int8 paths calibrate on the first validation batch against
+            # the CURRENT weights — fetched once, shared by both paths
+            first = None
+            if self.cfg.eval.int8 or self.cfg.eval.int8_engine:
+                try:
+                    first = next(iter(self.valid_loader))
+                except StopIteration:
+                    raise ValueError(
+                        "eval.int8/int8_engine need at least one "
+                        "validation batch for activation calibration")
+            # eval.int8: quantized eval serving (ops/quant.py)
             quant_scales = None
             if self.cfg.eval.int8:
                 from tpupose.engine.predictor import HeatmapPredictor
 
-                first = next(iter(self.valid_loader))
                 quant_scales = HeatmapPredictor.calibrate_int8(
                     self.state.for_eval(), np.asarray(first["images"]))
             # eval.int8_engine: the fused int8-activation graph (BN +
             # normalize folded into the convs) — SimpleBaseline/HRNet
-            # heatmap families; calibrated on the first validation batch
-            # against the CURRENT weights like eval.int8
+            # heatmap families
             engine = None
             if self.cfg.eval.int8_engine:
                 from tpupose.ops.int8_engine import Int8Engine
@@ -389,7 +418,6 @@ class Trainer:
                         f"HRNet heatmap families only (got family="
                         f"{self.family!r}, backbone={bb!r})")
                 es = self.state.for_eval()
-                first = next(iter(self.valid_loader))
                 engine = Int8Engine.build(
                     {"params": es.params, "batch_stats": es.batch_stats},
                     backbone=bb, calib=np.asarray(first["images"]),
@@ -451,7 +479,9 @@ class Trainer:
                                    or None))
         det_file = getattr(self.cfg.eval, "det_boxes", "")
         if det_file:
-            out.update(self.evaluate_detections(det_file))
+            # reuse this epoch's evaluator — _get_evaluator would rebuild
+            # (and recalibrate) the whole int8 program a second time
+            out.update(self.evaluate_detections(det_file, evaluator=ev))
         printM("eval: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
         return out
 
@@ -499,8 +529,7 @@ class Trainer:
                 scales_map = BottomUpPredictor.calibrate_int8(
                     eval_state, np.asarray(first["images"]))
 
-        @jax.jit
-        def _decode_step(state, images):
+        def _decode_fn(state, images):
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
 
@@ -522,6 +551,18 @@ class Trainer:
                 hm, tg, max_people=max_people,
                 score_threshold=getattr(ecfg, "ae_score_threshold", 0.1),
                 tag_threshold=getattr(ecfg, "ae_tag_threshold", 1.0))
+
+        if scales_map is not None:
+            # int8 scales are trace constants calibrated against the
+            # current weights — a fresh jit per eval is required
+            _decode_step = jax.jit(_decode_fn)
+        else:
+            # cache across eval epochs: the decode config is fixed for the
+            # run, so a fresh jit each evaluate() would recompile the full
+            # forward(+flip)+grouping program every epoch
+            if getattr(self, "_bu_decode_step", None) is None:
+                self._bu_decode_step = jax.jit(_decode_fn)
+            _decode_step = self._bu_decode_step
 
         H, W = self.cfg.data.image_size
         Hh, Wh = self.cfg.model.heatmap_size
@@ -555,7 +596,7 @@ class Trainer:
         return {k: float(v) for k, v in res.items()
                 if isinstance(v, (int, float, np.floating))}
 
-    def evaluate_detections(self, det_file: str) -> dict:
+    def evaluate_detections(self, det_file: str, evaluator=None) -> dict:
         """Official COCO top-down protocol: crops from DETECTOR boxes
         (a COCO detection-results JSON) instead of GT boxes, scored by
         OKS-AP greedy matching against the val annotations. Results are
@@ -584,7 +625,7 @@ class Trainer:
             max_per_image=getattr(self.cfg.eval, "det_max_per_image", 100),
             udp=getattr(d, "udp", False))
         out = evaluate_detections(
-            self._get_evaluator(), ds,
+            evaluator if evaluator is not None else self._get_evaluator(), ds,
             batch_size=self.cfg.eval.batch_size,
             num_workers=d.num_workers,
             nms=getattr(self.cfg.eval, "det_nms", "oks"),
@@ -609,11 +650,18 @@ class Trainer:
         @contextlib.contextmanager
         def guard():
             def handler(signum, frame):
-                printM(f"signal {signum}: saving checkpoint @ step "
-                       f"{int(self.state.step)} before exit")
-                self.ckpt.save(int(self.state.step), self.state, force=True)
-                raise SystemExit(128 + signum)
+                # DEFERRED: the train step donates the previous state's
+                # buffers (donate_argnums), so a signal landing inside the
+                # step call would see an invalidated self.state — saving
+                # here could fail. Set a flag; the train loop checkpoints
+                # at the next step boundary where the state is whole.
+                if getattr(self, "_exit_signal", None) is not None:
+                    raise SystemExit(128 + signum)   # second signal: force
+                self._exit_signal = signum
+                printM(f"signal {signum}: will checkpoint at the next "
+                       f"step boundary (signal again to force exit)")
 
+            self._exit_signal = None
             prev = {}
             for sig in (_signal.SIGTERM, _signal.SIGINT):
                 try:
@@ -628,9 +676,20 @@ class Trainer:
 
         return guard()
 
+    def _check_exit_signal(self):
+        """Called at step/epoch boundaries (state guaranteed whole):
+        checkpoint and exit if a SIGTERM/SIGINT was deferred."""
+        sig = getattr(self, "_exit_signal", None)
+        if sig is not None:
+            printM(f"signal {sig}: saving checkpoint @ step "
+                   f"{int(self.state.step)} before exit")
+            self.ckpt.save(int(self.state.step), self.state, force=True)
+            raise SystemExit(128 + sig)
+
     def _train_epochs(self, start_epoch: int, epochs: int):
         for epoch in range(start_epoch, epochs):
             train_loss = self.iter_one_epoch(epoch)
+            self._check_exit_signal()
             if (epoch + 1) % self.cfg.eval.interval == 0:
                 val_loss = self.validate()
                 printM(f"epoch {epoch}: val_loss={val_loss:.5f}")
@@ -657,7 +716,14 @@ class Trainer:
     def load_checkpoint(self, path: str | None = None):
         best = bool(path) and path.endswith("@best")
         dirpath = path[: -len("@best")] if best else path
-        if dirpath and os.path.isdir(dirpath):
+        if dirpath:
+            if not os.path.isdir(dirpath):
+                # an explicitly configured checkpoint that doesn't exist
+                # is an error — silently falling back to the experiment's
+                # own ckpt dir would eval different (or random) weights
+                raise FileNotFoundError(
+                    f"model.checkpoint points at {dirpath!r}, which is "
+                    f"not a directory")
             from tpupose.engine.checkpoint import restore_path
 
             self.state, step = restore_path(self.state, path)

@@ -128,6 +128,11 @@ class ComputeLoss:
             cl = varifocal_loss(pred_cls, tgt, label)
         else:
             cl = binary_cross_entropy_with_logits(pred_cls, tgt)
+        # per-image weight: eval tail-batch padding rows carry 0 so their
+        # confident predictions don't score against all-zero targets
+        smask = targets.get("sample_mask")
+        if smask is not None:
+            cl = cl * smask[:, None, None]
         loss_cls = jnp.sum(cl)
 
         num_pos = jnp.sum(imask)

@@ -90,13 +90,19 @@ class v8DetectionLoss:
             "anchors": anchors, "strides": strides,
             "target_bboxes": tb, "target_scores": ts, "fg": fg,
             "target_gt_idx": tgi, "in_wh": in_wh,
+            # (B,) per-image weight: eval tail-batch padding rows carry 0
+            # (Trainer.validate) so their confident predictions don't score
+            # against the padded rows' all-zero targets
+            "sample_mask": targets.get("sample_mask"),
         }
 
     def _det_losses(self, a):
         ts = a["target_scores"]
         ts_sum = jnp.maximum(ts.sum(), 1.0)
-        loss_cls = binary_cross_entropy_with_logits(
-            a["cls_logits"], ts).sum() / ts_sum
+        cl = binary_cross_entropy_with_logits(a["cls_logits"], ts)
+        if a["sample_mask"] is not None:
+            cl = cl * a["sample_mask"][:, None, None]
+        loss_cls = cl.sum() / ts_sum
 
         fgf = a["fg"].astype(jnp.float32)
         w = ts.sum(-1) * fgf
