@@ -101,6 +101,10 @@ class TrainConfig:
     # > 0: track an EMA of the params (fused into the train step) and use
     # it for validation/metric eval/serving. 0 disables. Typical: 0.9998.
     ema_decay: float = 0.0
+    # rematerialize backbone blocks in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward for an O(1)-block activation stash — unlocks
+    # larger per-chip batches on HBM-limited configs (HRNet@384, big ViTs)
+    remat: bool = False
 
 
 @dataclass
@@ -184,6 +188,15 @@ class SchedulerConfig:
 
 
 @dataclass
+class ServeConfig:
+    """HTTP serving front end (cli/serve.py, engine/server.py)."""
+    host: str = "127.0.0.1"
+    port: int = 8080                    # 0: pick an ephemeral port
+    max_batch: int = 32                 # largest micro-batch (top bucket)
+    window_ms: float = 4.0              # coalescing window per batch
+
+
+@dataclass
 class MeshConfig:
     """Device mesh topology (the `--gpus` analog)."""
     data: int = -1                      # -1: all devices on the data axis
@@ -201,6 +214,7 @@ class Config:
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     lr_scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    serve: ServeConfig = field(default_factory=ServeConfig)
 
     _frozen: bool = field(default=False, repr=False, compare=False)
 

@@ -46,31 +46,37 @@ class Builder:
         m = self.cfg.model
         dtype = jnp.bfloat16 if self.cfg.train.mixed_precision else jnp.float32
         cls = get_model(m.name)
+        remat = self.cfg.train.remat
         if m.name == "simple_baseline":
             return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
-                       deconv_channels=tuple(m.deconv_channels), dtype=dtype)
+                       deconv_channels=tuple(m.deconv_channels), dtype=dtype,
+                       remat=remat)
         if m.name == "hrnet":
-            return cls(variant=m.backbone, num_keypoints=m.num_keypoints, dtype=dtype)
+            return cls(variant=m.backbone, num_keypoints=m.num_keypoints,
+                       dtype=dtype, remat=remat)
         if m.name == "dinov3_pose":
             return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
                        num_classes=m.num_classes,
                        neck_channels=tuple(m.neck_channels),
                        strides=tuple(m.strides),
                        freeze_backbone=m.freeze_backbone,
-                       reg_max=self._reg_max(), dtype=dtype)
+                       reg_max=self._reg_max(), dtype=dtype, remat=remat)
         if m.name == "deeppose":
             # loss rle implies the (mu, sigma) + flow head — the loss and
             # the head must agree (same coupling precedent as v8/reg_max)
             return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
-                       rle=(self.cfg.loss.name == "rle"), dtype=dtype)
+                       rle=(self.cfg.loss.name == "rle"), dtype=dtype,
+                       remat=remat)
         if m.name == "bottom_up":
             return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
-                       deconv_channels=tuple(m.deconv_channels), dtype=dtype)
+                       deconv_channels=tuple(m.deconv_channels), dtype=dtype,
+                       remat=remat)
         if m.name == "vitpose":
             return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
                        decoder=m.decoder,
                        deconv_channels=tuple(m.deconv_channels)[:2],
-                       freeze_backbone=m.freeze_backbone, dtype=dtype)
+                       freeze_backbone=m.freeze_backbone, dtype=dtype,
+                       remat=remat)
         if m.name == "simcc":
             # the bin grid doubles as cfg.model.heatmap_size so the joint
             # transform / evaluator back-projection plumbing is shared —
@@ -83,7 +89,7 @@ class Builder:
                     f"simcc: model.heatmap_size must equal image_size x "
                     f"split_ratio = {want}, got {tuple(m.heatmap_size)}")
             return cls(backbone=m.backbone, num_keypoints=m.num_keypoints,
-                       split_ratio=r, dtype=dtype)
+                       split_ratio=r, dtype=dtype, remat=remat)
         # registry fallback: pass the common kwargs
         return cls(num_keypoints=m.num_keypoints, dtype=dtype)
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from tpupose.models.necks import ConvNeXtBlock
+from tpupose.models.remat import block_call
 
 # size table (reference: convnext2.py size ctors + dinov3convnext.py:93-117)
 CONVNEXT_SIZES = {
@@ -48,11 +49,14 @@ class ConvNeXt(nn.Module):
     drop_path_rate: float = 0.0
     v2: bool = False
     dtype: Any = jnp.bfloat16
+    remat: bool = False  # checkpoint each block (models/remat.py)
 
     @classmethod
-    def from_size(cls, size: str, v2: bool = False, dtype=jnp.bfloat16):
+    def from_size(cls, size: str, v2: bool = False, dtype=jnp.bfloat16,
+                  remat: bool = False):
         a = get_convnext_arch(size)
-        return cls(depths=a["depths"], dims=a["dims"], v2=v2, dtype=dtype)
+        return cls(depths=a["depths"], dims=a["dims"], v2=v2, dtype=dtype,
+                   remat=remat)
 
     @nn.compact
     def __call__(self, x, train: bool = True, mask=None):
@@ -80,8 +84,9 @@ class ConvNeXt(nn.Module):
                 x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
                 x = nn.Conv(dim, (2, 2), (2, 2), dtype=self.dtype)(x)
             for j in range(depth):
-                x = ConvNeXtBlock(dim, drop_path=dp_rates[cur + j], v2=self.v2,
-                                  dtype=self.dtype)(x, train)
+                blk = ConvNeXtBlock(dim, drop_path=dp_rates[cur + j],
+                                    v2=self.v2, dtype=self.dtype)
+                x = block_call(blk, x, train, self.remat)
             cur += depth
             feats.append(x)
         return feats

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from tpupose.models.backbones.resnet import BasicBlock, Bottleneck
+from tpupose.models.remat import block_call
 
 
 def _upsample_to(x, hw, dtype):
@@ -108,11 +109,13 @@ class _Stage(nn.Module):
     num_modules: int
     num_blocks: int = 4
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = True):
         for _ in range(self.num_modules):
-            xs = [_Branch(w, self.num_blocks, dtype=self.dtype)(x, train)
+            xs = [block_call(_Branch(w, self.num_blocks, dtype=self.dtype),
+                             x, train, self.remat)
                   for w, x in zip(self.widths, xs)]
             xs = _FuseLayer(self.widths, dtype=self.dtype)(xs, train)
         return xs
@@ -131,13 +134,15 @@ class HRNet(nn.Module):
     width: int = 32
     modules: Sequence[int] = (1, 4, 3)
     dtype: Any = jnp.bfloat16
+    remat: bool = False  # checkpoint each branch (models/remat.py)
 
     @classmethod
-    def from_name(cls, name: str, dtype=jnp.bfloat16):
+    def from_name(cls, name: str, dtype=jnp.bfloat16, remat: bool = False):
         if name not in HRNET_SPECS:
             raise ValueError(f"unknown hrnet {name!r}; have {sorted(HRNET_SPECS)}")
         s = HRNET_SPECS[name]
-        return cls(width=s["width"], modules=s["modules"], dtype=dtype)
+        return cls(width=s["width"], modules=s["modules"], dtype=dtype,
+                   remat=remat)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -147,19 +152,22 @@ class HRNet(nn.Module):
         x = _ConvBN(64, 3, strides=2, dtype=self.dtype)(x, train)
         # stage1: 4 Bottlenecks at width 64 (expansion 4 -> 256 channels)
         for _ in range(4):
-            x = Bottleneck(filters=64, dtype=self.dtype)(x, train=train)
+            x = block_call(Bottleneck(filters=64, dtype=self.dtype),
+                           x, train, self.remat)
         # transition to 2 branches
         b0 = _ConvBN(w, 3, dtype=self.dtype)(x, train)
         b1 = _ConvBN(w * 2, 3, strides=2, dtype=self.dtype)(x, train)
         xs = [b0, b1]
-        xs = _Stage((w, w * 2), self.modules[0], dtype=self.dtype)(xs, train)
+        xs = _Stage((w, w * 2), self.modules[0], dtype=self.dtype,
+                    remat=self.remat)(xs, train)
         # transition to 3 branches
         xs = xs + [_ConvBN(w * 4, 3, strides=2, dtype=self.dtype)(xs[-1], train)]
-        xs = _Stage((w, w * 2, w * 4), self.modules[1], dtype=self.dtype)(xs, train)
+        xs = _Stage((w, w * 2, w * 4), self.modules[1], dtype=self.dtype,
+                    remat=self.remat)(xs, train)
         # transition to 4 branches
         xs = xs + [_ConvBN(w * 8, 3, strides=2, dtype=self.dtype)(xs[-1], train)]
         xs = _Stage((w, w * 2, w * 4, w * 8), self.modules[2],
-                    dtype=self.dtype)(xs, train)
+                    dtype=self.dtype, remat=self.remat)(xs, train)
         return xs[0]  # stride-4 high-resolution map
 
 
@@ -170,8 +178,10 @@ class HRNetPose(nn.Module):
     variant: str = "hrnet_w32"
     num_keypoints: int = 17
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        f = HRNet.from_name(self.variant, dtype=self.dtype)(x, train=train)
+        f = HRNet.from_name(self.variant, dtype=self.dtype,
+                            remat=self.remat)(x, train=train)
         return nn.Conv(self.num_keypoints, (1, 1), dtype=jnp.float32)(f)

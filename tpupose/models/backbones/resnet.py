@@ -19,6 +19,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from tpupose.models.remat import block_call
+
 ModuleDef = Any
 
 
@@ -95,12 +97,14 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     dtype: Any = jnp.bfloat16
     return_stages: bool = False
+    remat: bool = False  # checkpoint each residual block (models/remat.py)
 
     @classmethod
-    def from_name(cls, name: str, dtype=jnp.bfloat16, return_stages: bool = False):
+    def from_name(cls, name: str, dtype=jnp.bfloat16, return_stages: bool = False,
+                  remat: bool = False):
         block, sizes = resnet_spec(name)
         return cls(block_cls=block, stage_sizes=sizes, dtype=dtype,
-                   return_stages=return_stages)
+                   return_stages=return_stages, remat=remat)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -113,8 +117,9 @@ class ResNet(nn.Module):
         for i, (size, filters) in enumerate(zip(self.stage_sizes, (64, 128, 256, 512))):
             for j in range(size):
                 strides = 2 if (i > 0 and j == 0) else 1
-                x = self.block_cls(filters=filters, strides=strides, dtype=self.dtype)(
-                    x, train=train)
+                blk = self.block_cls(filters=filters, strides=strides,
+                                     dtype=self.dtype)
+                x = block_call(blk, x, train, self.remat)
             feats.append(x)
         if self.return_stages:
             return feats

@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from tpupose.models.remat import remat_call
+
 VIT_SIZES = {
     "small": {"depth": 12, "dim": 384, "heads": 6},
     "small_plus": {"depth": 12, "dim": 384, "heads": 6},
@@ -139,6 +141,7 @@ class DinoViT(nn.Module):
     num_storage_tokens: int = 4
     intermediates: Sequence[int] = ()
     dtype: Any = jnp.bfloat16
+    remat: bool = False  # checkpoint each transformer block (models/remat.py)
 
     @classmethod
     def from_size(cls, size: str, intermediates=(), dtype=jnp.bfloat16, **kw):
@@ -172,7 +175,11 @@ class DinoViT(nn.Module):
 
         inter = {}
         for i in range(self.depth):
-            x = ViTBlock(self.dim, self.heads, p, dtype=self.dtype)(x, sin, cos)
+            blk = ViTBlock(self.dim, self.heads, p, dtype=self.dtype)
+            if self.remat:
+                x = remat_call(blk, x, sin, cos)  # all-array args: no statics
+            else:
+                x = blk(x, sin, cos)
             if i in self.intermediates:
                 inter[i] = x
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)

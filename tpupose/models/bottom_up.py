@@ -32,14 +32,17 @@ class BottomUpPose(nn.Module):
     num_keypoints: int = 17
     deconv_channels: Sequence[int] = (256, 256, 256)
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         out_ch = 2 * self.num_keypoints  # K heatmaps + K tags
         if self.backbone.startswith("hrnet"):
-            f = HRNet.from_name(self.backbone, dtype=self.dtype)(x, train)
+            f = HRNet.from_name(self.backbone, dtype=self.dtype,
+                                remat=self.remat)(x, train)
             return nn.Conv(out_ch, (1, 1), dtype=jnp.float32)(f)
-        f = ResNet.from_name(self.backbone, dtype=self.dtype)(x, train)
+        f = ResNet.from_name(self.backbone, dtype=self.dtype,
+                             remat=self.remat)(x, train)
         return HeatmapHead(out_ch, self.deconv_channels,
                            dtype=self.dtype)(f, train=train)
 

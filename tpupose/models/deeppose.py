@@ -31,10 +31,12 @@ class DeepPose(nn.Module):
     rle: bool = False
     flow_layers: int = 3
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, target=None):
-        f = ResNet.from_name(self.backbone, dtype=self.dtype)(x, train=train)
+        f = ResNet.from_name(self.backbone, dtype=self.dtype,
+                             remat=self.remat)(x, train=train)
         if not self.rle:
             return RegressionHead(self.num_keypoints, dtype=self.dtype)(f, train)
         B = x.shape[0]

@@ -62,17 +62,19 @@ class DINOv3Pose(nn.Module):
     kpt_dim: int = 3
     reg_max: int = 0                # >0: v8-style DFL box branch on the head
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         family, size = _parse_backbone(self.backbone)
         if family == "convnext":
-            feats = ConvNeXt.from_size(size, dtype=self.dtype)(x, train=train)
+            feats = ConvNeXt.from_size(size, dtype=self.dtype,
+                                       remat=self.remat)(x, train=train)
             feats = feats[1:]  # stages 2-4: strides 8, 16, 32
         else:
             depth = VIT_SIZES[size]["depth"]
             ids = (depth // 3 - 1, 2 * depth // 3 - 1, depth - 1)
-            out = DinoViT.from_size(size, intermediates=ids,
+            out = DinoViT.from_size(size, intermediates=ids, remat=self.remat,
                                     dtype=self.dtype)(x, train=train)
             m = out["intermediates"]
             B, H, W, _ = x.shape

@@ -59,16 +59,19 @@ class SimCCPose(nn.Module):
     num_keypoints: int = 17
     split_ratio: float = 2.0
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         B, H, W, _ = x.shape
         if self.backbone.startswith("hrnet"):
             # HRNet's stride-4 high-res branch: keep its spatial detail
-            f = HRNet.from_name(self.backbone, dtype=self.dtype)(x,
+            f = HRNet.from_name(self.backbone, dtype=self.dtype,
+                                remat=self.remat)(x,
                                                                  train=train)
         else:
-            f = ResNet.from_name(self.backbone, dtype=self.dtype)(x,
+            f = ResNet.from_name(self.backbone, dtype=self.dtype,
+                                 remat=self.remat)(x,
                                                                   train=train)
         return SimCCHead(self.num_keypoints,
                          x_bins=int(W * self.split_ratio),

@@ -18,9 +18,11 @@ class SimpleBaseline(nn.Module):
     num_keypoints: int = 17
     deconv_channels: Sequence[int] = (256, 256, 256)
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = ResNet.from_name(self.backbone, dtype=self.dtype)(x, train=train)
+        x = ResNet.from_name(self.backbone, dtype=self.dtype,
+                             remat=self.remat)(x, train=train)
         return HeatmapHead(self.num_keypoints, self.deconv_channels,
                            dtype=self.dtype)(x, train=train)

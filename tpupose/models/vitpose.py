@@ -40,11 +40,12 @@ class ViTPose(nn.Module):
     deconv_channels: tuple = (256, 256)
     freeze_backbone: bool = False
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         size = self.backbone.replace("dinov3_", "").replace("vit_", "")
-        vit = DinoViT.from_size(size, dtype=self.dtype)
+        vit = DinoViT.from_size(size, dtype=self.dtype, remat=self.remat)
         feats = vit(x, train=train)["feature_map"]  # (B, H/16, W/16, C)
         if self.freeze_backbone:
             # reference freezes the DINOv3 backbone (HPE/models/pose.py:47-49);
