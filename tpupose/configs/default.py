@@ -105,6 +105,15 @@ class TrainConfig:
     # trades ~1 extra forward for an O(1)-block activation stash — unlocks
     # larger per-chip batches on HBM-limited configs (HRNet@384, big ViTs)
     remat: bool = False
+    # heatmap knowledge distillation (FPD, Zhang et al. CVPR 2019):
+    # distill_cfg = YAML of the TEACHER model (any heatmap family with the
+    # same heatmap_size/num_keypoints); distill_ckpt = its trained
+    # checkpoint (supports <dir>@best). The teacher's frozen eval forward
+    # runs inside the compiled train step; loss becomes
+    # (1-w)·task + w·MSE(student_hm, teacher_hm).
+    distill_cfg: str = ""
+    distill_ckpt: str = ""
+    distill_weight: float = 0.5
 
 
 @dataclass

@@ -96,7 +96,9 @@ def make_heatmap_train_step(loss_fn, color_jitter_strength: float = 0.0,
                             sigma: float = 2.0,
                             affine_rotation: float = 0.0,
                             affine_scale: float = 0.0,
-                            udp: bool = False):
+                            udp: bool = False,
+                            teacher_apply=None,
+                            distill_weight: float = 0.5):
     """Build the jitted train step for heatmap models.
 
     batch: {"images": uint8/float NHWC} plus EITHER precomputed
@@ -115,6 +117,15 @@ def make_heatmap_train_step(loss_fn, color_jitter_strength: float = 0.0,
     (ops/affine.random_affine_augment), transforming the joint labels in
     lockstep BEFORE the in-step Gaussian render. All aug rngs are folded
     from the step counter: deterministic resume.
+
+    teacher_apply: heatmap knowledge distillation (FPD, "Fast Human Pose
+    Estimation", Zhang et al. CVPR 2019 — no reference-repo counterpart).
+    A frozen teacher's eval-mode forward runs INSIDE the same compiled
+    step on the identical (augmented) images, and the loss becomes
+    (1-w)·task + w·MSE(student_hm, teacher_hm) with w=distill_weight.
+    The returned step then takes a third argument, the teacher's
+    variables dict — passed per-call so the teacher's weights are mesh
+    arrays, not baked-in jit constants.
     """
     import jax.numpy as _jnp
 
@@ -125,7 +136,7 @@ def make_heatmap_train_step(loss_fn, color_jitter_strength: float = 0.0,
 
     use_affine = (affine_rotation > 0 or affine_scale > 0)
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, teacher_vars=None):
         if use_affine and "target" in batch:
             raise ValueError("device affine augmentation needs raw "
                              "joints, not precomputed targets")
@@ -158,19 +169,39 @@ def make_heatmap_train_step(loss_fn, color_jitter_strength: float = 0.0,
             batch["target"] = _jnp.transpose(t, (0, 2, 3, 1))  # NKHW -> NHWK
             batch["target_weight"] = tw
 
+        if teacher_apply is not None:
+            from tpupose.losses.heatmap import joints_mse_loss
+
+            # frozen teacher, eval mode, same (augmented) pixels
+            t_hm = jax.lax.stop_gradient(
+                teacher_apply(teacher_vars, imgs, train=False))
+
         def compute_loss(params):
             outs, mut = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 imgs, train=True, mutable=["batch_stats"],
             )
-            loss = loss_fn(outs, batch["target"], batch.get("target_weight"))
-            return loss, mut.get("batch_stats", state.batch_stats)
+            task = loss_fn(outs, batch["target"], batch.get("target_weight"))
+            if teacher_apply is None:
+                return task, (mut.get("batch_stats", state.batch_stats),
+                              task, task * 0.0)
+            kd = joints_mse_loss(outs, t_hm, batch.get("target_weight"))
+            loss = (1.0 - distill_weight) * task + distill_weight * kd
+            return loss, (mut.get("batch_stats", state.batch_stats),
+                          task, kd)
 
-        (loss, new_bs), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+        (loss, (new_bs, task, kd)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        if teacher_apply is not None:
+            metrics["task_loss"] = task
+            metrics["kd_loss"] = kd
         return new_state, metrics
 
+    if teacher_apply is None:
+        jitted = jax.jit(lambda s, b: train_step(s, b), donate_argnums=(0,))
+        return jitted
     return jax.jit(train_step, donate_argnums=(0,))
 
 

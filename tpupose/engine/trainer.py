@@ -152,7 +152,10 @@ class Trainer:
             self.eval_step = make_heatmap_eval_step()  # plain forward
         else:
             dev_aff = getattr(cfg.data, "device_affine", False)
-            self.train_step = make_heatmap_train_step(
+            teacher_apply = None
+            if getattr(cfg.train, "distill_cfg", ""):
+                teacher_apply = self._build_teacher(sample)
+            step = make_heatmap_train_step(
                 self.loss_fn,
                 color_jitter_strength=cfg.data.color_jitter,
                 jitter_seed=cfg.train.seed,
@@ -160,7 +163,14 @@ class Trainer:
                 sigma=cfg.data.sigma,
                 affine_rotation=cfg.data.rotation_factor if dev_aff else 0.0,
                 affine_scale=cfg.data.scale_factor if dev_aff else 0.0,
-                udp=getattr(cfg.data, "udp", False))
+                udp=getattr(cfg.data, "udp", False),
+                teacher_apply=teacher_apply,
+                distill_weight=cfg.train.distill_weight)
+            if teacher_apply is not None:
+                self.train_step = (lambda s, b:
+                                   step(s, b, self._teacher_vars))
+            else:
+                self.train_step = step
             self.eval_step = make_heatmap_eval_step()
 
         exp_dir = os.path.join(cfg.train.output_dir, cfg.train.experiment)
@@ -173,6 +183,48 @@ class Trainer:
                                       interval=cfg.train.ckpt_interval)
         if cfg.model.checkpoint:
             self.load_checkpoint(cfg.model.checkpoint)
+
+    # ------------------------------------------------------------------
+    def _build_teacher(self, sample):
+        """Load the distillation teacher (train.distill_cfg/_ckpt): build
+        its model from its own config, restore its weights, enforce output
+        compatibility, and return its apply_fn; the variables land on the
+        mesh (replicated) in self._teacher_vars and are fed to the train
+        step per-call, so they are not baked into the program as
+        constants."""
+        import optax
+
+        from tpupose.configs.parser import load_config
+
+        cfg = self.cfg
+        tcfg = load_config(cfg.train.distill_cfg)
+        if (tuple(tcfg.model.heatmap_size) != tuple(cfg.model.heatmap_size)
+                or tcfg.model.num_keypoints != cfg.model.num_keypoints):
+            raise ValueError(
+                "distill teacher must emit the student's heatmap grid: "
+                f"teacher {tcfg.model.heatmap_size}/"
+                f"{tcfg.model.num_keypoints}kp vs student "
+                f"{cfg.model.heatmap_size}/{cfg.model.num_keypoints}kp")
+        if tuple(tcfg.data.image_size) != tuple(cfg.data.image_size):
+            raise ValueError(
+                "distill teacher must consume the student's input size "
+                f"(teacher {tcfg.data.image_size} vs student "
+                f"{cfg.data.image_size}) — both run on the same batch")
+        teacher = Builder(tcfg).model()
+        tstate = create_train_state(teacher, jax.random.PRNGKey(0), sample,
+                                    optax.sgd(0.0))
+        if cfg.train.distill_ckpt:
+            from tpupose.engine.checkpoint import restore_path
+
+            tstate, _ = restore_path(tstate, cfg.train.distill_ckpt)
+        else:
+            printT("distill: no distill_ckpt given — random teacher "
+                   "(tests only)")
+        self._teacher_vars = self.mesh_mgr.replicate(
+            {"params": tstate.params, "batch_stats": tstate.batch_stats})
+        printT(f"distill: teacher {tcfg.model.name}/{tcfg.model.backbone} "
+               f"(w={cfg.train.distill_weight})")
+        return teacher.apply
 
     # ------------------------------------------------------------------
     def _prefetched(self, loader, depth: int = 2):
