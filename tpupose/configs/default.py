@@ -63,6 +63,9 @@ class DataConfig:
     # re-center the crop on visible upper- or lower-body joints only
     half_body_prob: float = 0.0
     half_body_min_joints: int = 8
+    # single-stage (yolo-pose) family: per-image probability of the
+    # on-device 4-image mosaic (ops/mosaic.py), fused into the train step
+    mosaic_prob: float = 0.0
     color_jitter: float = 0.2
     # True: rotation/scale augmentation runs INSIDE the jitted train step
     # (ops/affine.random_affine_augment); the host ships the canonical

@@ -354,7 +354,8 @@ def make_rle_train_step(loss_fn):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_yolo_train_step(loss_fn):
+def make_yolo_train_step(loss_fn, mosaic_prob: float = 0.0,
+                         mosaic_seed: int = 0):
     """Jitted train step for single-stage YOLO-pose models.
 
     batch: {"images": uint8 NHWC, "boxes": (B,M,4), "classes": (B,M),
@@ -362,13 +363,29 @@ def make_yolo_train_step(loss_fn):
     loss_fn: (per-scale raw preds, targets) -> (total, parts)
     (ComputeLoss or v8PoseLoss). The reference's /255-only preprocessing
     (pose trainer :54-56) is preserved via scale_only.
+
+    mosaic_prob > 0: the 4-image mosaic (ops/mosaic.py) runs INSIDE the
+    compiled step per image with this probability, labels transformed in
+    lockstep; rng folded from the step counter (deterministic resume).
     """
+    from tpupose.ops.mosaic import mosaic_augment
     from tpupose.ops.preprocess import normalize_images
 
     def train_step(state: TrainState, batch):
-        imgs = normalize_images(batch["images"], scale_only=True)
+        images = batch["images"]
         targets = {k: batch[k] for k in
                    ("boxes", "classes", "keypoints", "instance_mask")}
+        extra = {}
+        if mosaic_prob > 0:
+            rng = jax.random.fold_in(jax.random.PRNGKey(mosaic_seed),
+                                     state.step)
+            (images, targets["boxes"], targets["classes"],
+             targets["keypoints"], targets["instance_mask"],
+             extra["mosaic_dropped"]) = mosaic_augment(
+                images, targets["boxes"], targets["classes"],
+                targets["keypoints"], targets["instance_mask"], rng,
+                prob=mosaic_prob)
+        imgs = normalize_images(images, scale_only=True)
 
         def compute_loss(params):
             preds, mut = state.apply_fn(
@@ -383,6 +400,7 @@ def make_yolo_train_step(loss_fn):
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         metrics.update({f"loss_{k}": v for k, v in parts.items()})
+        metrics.update(extra)
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))

@@ -122,7 +122,10 @@ class Trainer:
 
             self.val_step = jax.jit(_bu_val_step)
         elif self.family == "yolo":
-            self.train_step = make_yolo_train_step(self.loss_fn)
+            self.train_step = make_yolo_train_step(
+                self.loss_fn,
+                mosaic_prob=getattr(cfg.data, "mosaic_prob", 0.0),
+                mosaic_seed=cfg.train.seed)
 
             def _val_step(state, batch):
                 from tpupose.ops.preprocess import normalize_images

@@ -1,0 +1,155 @@
+"""On-device 4-image mosaic augmentation for the single-stage (YOLO-pose)
+family.
+
+The reference's single-stage trainer has NO augmentation at all (its
+`augment.py` files are empty; SURVEY.md §2.7) even though mosaic is the
+signature YOLO-family regularizer. This is the TPU-native formulation:
+the whole transform runs INSIDE the compiled train step — no host loop,
+no dynamic shapes, rngs folded from the step counter.
+
+Formulation (static-shape "resize-into-quadrant" mosaic): each output
+image picks a random center (cx, cy) and three partner images via batch
+permutations; every quadrant shows one FULL source image squeezed into
+it. Compared with the classic crop-from-2x canvas this never cuts an
+instance in half, so labels transform exactly (pure per-quadrant affine)
+and no box clipping/filtering heuristics are needed — a better fit for
+the padded fixed-M instance layout (data/yolo_pose.py) where dropped
+instances would change the mask pattern mid-step.
+
+Per output pixel the source coordinate is a traced function of the
+random center, so the whole batch is 4 bilinear gathers + a quadrant
+select — shapes stay (B, H, W, 3) end to end. Instances from the 4
+sources (4M candidates) are repacked into the M output slots valid-first
+(stable argsort on the mask); overflow beyond M drops lowest-priority
+padding only, and real-instance overflow is counted in the returned
+`dropped` metric rather than silently ignored.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear(img, sy, sx):
+    """img (H, W, C) float; sy/sx (h, w) source coords -> (h, w, C)."""
+    H, W = img.shape[:2]
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = jnp.clip(sy - y0, 0.0, 1.0)[..., None]
+    wx = jnp.clip(sx - x0, 0.0, 1.0)[..., None]
+    a = img[y0, x0]
+    b = img[y0, x1]
+    c = img[y1, x0]
+    d = img[y1, x1]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)
+
+
+def _mosaic_one(srcs, cy, cx):
+    """srcs (4, H, W, C) float — [TL, TR, BL, BR]; cy/cx: the center in
+    pixels. Returns the (H, W, C) composed canvas."""
+    H, W = srcs.shape[1:3]
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    top = yy < cy
+    left = xx < cx
+    y0 = jnp.where(top, 0.0, cy)
+    x0 = jnp.where(left, 0.0, cx)
+    hq = jnp.where(top, cy, H - cy)
+    wq = jnp.where(left, cx, W - cx)
+    # pixel-center convention: the exact inverse of the label transform
+    # in _quad_params (x' = (x + .5)·s + x0 − .5)
+    sy = (yy + 0.5 - y0) / jnp.maximum(hq, 1.0) * H - 0.5
+    sx = (xx + 0.5 - x0) / jnp.maximum(wq, 1.0) * W - 0.5
+    sel = (~top).astype(jnp.int32) * 2 + (~left).astype(jnp.int32)
+    out = jnp.zeros((H, W, srcs.shape[-1]), jnp.float32)
+    for q in range(4):
+        out = out + jnp.where((sel == q)[..., None],
+                              _bilinear(srcs[q], sy, sx), 0.0)
+    return out
+
+
+def _quad_params(cy, cx, H, W):
+    """Per-quadrant label transforms: src px -> canvas px is
+    x' = (x + 0.5) * sx + x0 - 0.5 (pixel centers; the exact inverse of
+    the sampling map in _mosaic_one). Returned x0/y0 already fold in the
+    -0.5 + 0.5*s terms so callers apply x' = x * sx + x0."""
+    sy = jnp.stack([cy, cy, H - cy, H - cy]) / H
+    sx = jnp.stack([cx, W - cx, cx, W - cx]) / W
+    y0 = jnp.stack([0.0, 0.0, cy, cy]) + 0.5 * sy - 0.5
+    x0 = jnp.stack([0.0, cx, 0.0, cx]) + 0.5 * sx - 0.5
+    return y0, x0, sy, sx
+
+
+def mosaic_augment(images, boxes, classes, keypoints, instance_mask, rng,
+                   prob: float = 1.0, center_range=(0.35, 0.65)):
+    """4-image mosaic, fully batched and jit-safe.
+
+    images (B,H,W,3) uint8/float · boxes (B,M,4) xyxy px · classes (B,M)
+    · keypoints (B,M,K,3) px+vis · instance_mask (B,M).
+    Returns (images, boxes, classes, keypoints, instance_mask, dropped):
+    same shapes/dtypes; `dropped` is the number of REAL instances that
+    did not fit the M output slots (summed over the batch).
+    """
+    B, H, W = images.shape[:3]
+    M = boxes.shape[1]
+    r_perm, r_center, r_apply = jax.random.split(rng, 3)
+    imgs_f = images.astype(jnp.float32)
+
+    # partners: 3 independent batch permutations
+    perms = jnp.stack(
+        [jnp.arange(B)]
+        + [jax.random.permutation(k, B)
+           for k in jax.random.split(r_perm, 3)], axis=1)        # (B, 4)
+    lo, hi = center_range
+    cyx = jax.random.uniform(r_center, (B, 2), minval=lo, maxval=hi)
+    cy = cyx[:, 0] * H
+    cx = cyx[:, 1] * W
+
+    srcs = imgs_f[perms]                                          # (B,4,H,W,3)
+    canvas = jax.vmap(_mosaic_one)(srcs, cy, cx)                  # (B,H,W,3)
+
+    def relabel(perm_i, cy_i, cx_i):
+        y0, x0, sy, sx = _quad_params(cy_i, cx_i, H, W)           # (4,)
+        bx = boxes[perm_i]                                        # (4,M,4)
+        kp = keypoints[perm_i]                                    # (4,M,K,3)
+        cl = classes[perm_i]                                      # (4,M)
+        mk = instance_mask[perm_i]                                # (4,M)
+        bx = jnp.stack([bx[..., 0] * sx[:, None] + x0[:, None],
+                        bx[..., 1] * sy[:, None] + y0[:, None],
+                        bx[..., 2] * sx[:, None] + x0[:, None],
+                        bx[..., 3] * sy[:, None] + y0[:, None]], axis=-1)
+        kp = jnp.concatenate(
+            [kp[..., 0:1] * sx[:, None, None, None] + x0[:, None, None, None],
+             kp[..., 1:2] * sy[:, None, None, None] + y0[:, None, None, None],
+             kp[..., 2:]], axis=-1)
+        # repack 4M candidates valid-first into M slots
+        bx, kp = bx.reshape(4 * M, 4), kp.reshape(4 * M, *kp.shape[2:])
+        cl, mk = cl.reshape(4 * M), mk.reshape(4 * M)
+        order = jnp.argsort(-mk.astype(jnp.float32), stable=True)
+        keep = order[:M]
+        dropped = jnp.maximum(mk.sum() - mk[keep].sum(), 0.0)
+        return bx[keep], cl[keep], kp[keep], mk[keep], dropped
+
+    m_bx, m_cl, m_kp, m_mk, m_drop = jax.vmap(relabel)(perms, cy, cx)
+
+    apply = jax.random.uniform(r_apply, (B,)) < prob              # (B,)
+    a_img = apply[:, None, None, None]
+    out_img = jnp.where(a_img, canvas, imgs_f)
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        out_img = jnp.clip(jnp.round(out_img), 0, 255)
+    out_img = out_img.astype(images.dtype)
+
+    aM = apply[:, None]
+    out = (
+        out_img,
+        jnp.where(aM[..., None], m_bx, boxes),
+        jnp.where(aM, m_cl, classes),
+        jnp.where(aM[..., None, None], m_kp, keypoints),
+        jnp.where(aM, m_mk, instance_mask),
+        jnp.sum(jnp.where(apply, m_drop, 0.0)),
+    )
+    return out
