@@ -163,6 +163,37 @@ def convert_coco(ann: str, out: str, min_keypoints: int = 1):
            f"to {out} ({skipped} annotations skipped)")
 
 
+def average_ckpts(cfg_path: str, ckpt_dir: str, out_dir: str,
+                  last: int = 0, steps=None):
+    """SWA checkpoint averaging: average the params/batch_stats of several
+    periodic checkpoints of one run and save the result as a standalone
+    checkpoint directory, loadable anywhere a normal checkpoint is
+    (--ckpt, eval, serve, export)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpupose.configs.parser import load_config
+    from tpupose.engine.builder import Builder
+    from tpupose.engine.checkpoint import (CheckpointManager,
+                                           average_checkpoints)
+    from tpupose.engine.train_state import create_train_state
+
+    cfg = load_config(cfg_path)
+    model = Builder(cfg).model()
+    H, W = cfg.data.image_size
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, H, W, 3), jnp.float32),
+                               optax.sgd(0.0))
+    avg, used = average_checkpoints(ckpt_dir, state, steps=steps, last=last)
+    out = CheckpointManager(out_dir)
+    try:
+        out.save(int(avg.step), avg, force=True)
+    finally:
+        out.close()
+    printS(f"averaged checkpoint ({len(used)} steps) saved to {out_dir}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -186,6 +217,14 @@ def main(argv=None):
     d.add_argument("--ann", required=True, help="COCO keypoints json")
     d.add_argument("--out", required=True, help="output labels dir")
     d.add_argument("--min-keypoints", type=int, default=1)
+    e = sub.add_parser("average-ckpts")
+    e.add_argument("--cfg", required=True, help="model config YAML")
+    e.add_argument("--ckpt", required=True, help="checkpoint dir to average")
+    e.add_argument("--out", required=True, help="output checkpoint dir")
+    e.add_argument("--last", type=int, default=0,
+                   help="average the newest N periodic steps (0 = all)")
+    e.add_argument("--steps", type=int, nargs="*", default=None,
+                   help="explicit step list (overrides --last)")
     args = p.parse_args(argv)
     if args.cmd == "check-data":
         check_data(args.images, args.labels, args.out, args.nkpts, args.limit)
@@ -193,6 +232,8 @@ def main(argv=None):
         check_labels(args.labels, args.nkpts, args.delete, args.images)
     elif args.cmd == "convert-coco":
         convert_coco(args.ann, args.out, args.min_keypoints)
+    elif args.cmd == "average-ckpts":
+        average_ckpts(args.cfg, args.ckpt, args.out, args.last, args.steps)
     else:
         resize_images(args.images, args.out, args.size, args.workers)
     return 0

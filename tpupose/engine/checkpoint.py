@@ -153,6 +153,62 @@ class CheckpointManager:
         self._best_mgr.close()
 
 
+def average_checkpoints(directory: str, state, steps=None, last: int = 0):
+    """SWA-style weight averaging (Izmailov et al., UAI 2018 — no
+    reference-repo counterpart): restore several periodic checkpoints and
+    return `state` carrying the uniform average of their params (and
+    batch_stats — an approximation of SWA's BN re-estimation that is
+    standard practice for pose models, where BN statistics vary little
+    across late epochs).
+
+    steps: explicit step list; default = the `last` newest periodic steps
+    (all kept steps when last<=0). Returns (averaged_state, used_steps).
+    The optimizer state is NOT averaged (meaningless across steps) — the
+    result is a serving/eval artifact; its step is the newest used step.
+    """
+    import jax.numpy as jnp
+
+    mgr = CheckpointManager(directory)
+    try:
+        avail = sorted(mgr._mgr.all_steps())
+        if not avail:
+            raise FileNotFoundError(f"no periodic checkpoints in {directory}")
+        if steps is None:
+            steps = avail[-last:] if last > 0 else avail
+        steps = [int(s) for s in steps]
+        missing = [s for s in steps if s not in avail]
+        if missing:
+            raise ValueError(f"steps {missing} not in {avail}")
+
+        acc_p = acc_b = None
+        for s in steps:
+            st, _ = mgr.restore(state, step=s)
+            p = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32), st.params)
+            b = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32), st.batch_stats)
+            if acc_p is None:
+                acc_p, acc_b = p, b
+            else:
+                acc_p = jax.tree_util.tree_map(jnp.add, acc_p, p)
+                acc_b = jax.tree_util.tree_map(jnp.add, acc_b, b)
+        n = float(len(steps))
+        mean_p = jax.tree_util.tree_map(
+            lambda a, ref: (a / n).astype(ref.dtype), acc_p, state.params)
+        mean_b = jax.tree_util.tree_map(
+            lambda a, ref: (a / n).astype(ref.dtype), acc_b,
+            state.batch_stats)
+        out = state.replace(step=max(steps), params=mean_p,
+                            batch_stats=mean_b)
+        if getattr(state, "ema_params", None) is not None:
+            out = out.replace(ema_params=jax.tree_util.tree_map(
+                jnp.array, mean_p))
+        printS(f"averaged {len(steps)} checkpoints {steps} from {directory}")
+        return out, steps
+    finally:
+        mgr.close()
+
+
 def restore_path(state, path: str):
     """Restore `state` from a checkpoint-directory path, honoring the
     `<dir>@best` suffix: `--ckpt out/exp/ckpt@best` loads the durable
