@@ -129,9 +129,50 @@ def test_deterministic_under_same_key():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def _normalized(images, boxes, classes, kpts, mask):
+    """Pixel-xyxy fixture -> the YoloPoseDataset batch convention
+    (normalized cxcywh boxes, normalized keypoint x/y)."""
+    x1, y1, x2, y2 = np.moveaxis(np.asarray(boxes), -1, 0)
+    nboxes = np.stack([(x1 + x2) / (2 * W), (y1 + y2) / (2 * H),
+                       (x2 - x1) / W, (y2 - y1) / H], -1).astype(np.float32)
+    nkpts = np.asarray(kpts) / np.array([W, H, 1.0], np.float32)
+    return (images, jnp.asarray(nboxes), classes, jnp.asarray(nkpts), mask)
+
+
+def test_normalized_wrapper_keeps_labels_in_lockstep():
+    """The YOLO train path feeds NORMALIZED cxcywh + normalized keypoints
+    (data/yolo_pose.py); mosaic_augment_normalized must land every
+    transformed keypoint on its own source's pixels — the convention
+    mismatch that corrupted labels in round 2 (ADVICE #1)."""
+    from tpupose.ops.mosaic import mosaic_augment_normalized
+
+    images, boxes, _, kpts, mask = _batch()
+    tag = jnp.broadcast_to(jnp.arange(4, dtype=jnp.float32)[:, None], (4, M))
+    images, nboxes, tag, nkpts, mask = _normalized(images, boxes, tag,
+                                                   kpts, mask)
+    o = mosaic_augment_normalized(images, nboxes, tag, nkpts, mask,
+                                  jax.random.PRNGKey(11), prob=1.0)
+    o_img, o_box, o_tag, o_kp, o_mk, _ = map(np.asarray, o)
+    for i in range(4):
+        for j in range(M):
+            if o_mk[i, j] < 0.5:
+                continue
+            # labels stay normalized: inside [0,1] (mosaic only shrinks)
+            assert (o_box[i, j] >= -0.02).all() and (o_box[i, j] <= 1.02).all()
+            src_color = (int(o_tag[i, j]) + 1) * 60
+            x, y = o_kp[i, j, 0, :2] * (W, H)
+            px = o_img[i, int(np.clip(round(y), 1, H - 2)),
+                       int(np.clip(round(x), 1, W - 2)), 0]
+            assert px == src_color, (i, j, px, src_color)
+            # box w/h shrank by the quadrant scale (always < 1)
+            assert o_box[i, j, 2] < 20 / W + 1e-6
+            assert o_box[i, j, 3] < 20 / H + 1e-6
+
+
 def test_yolo_step_applies_mosaic():
-    """The step-level wiring: mosaic_prob>0 reports the dropped metric and
-    trains without shape errors on the padded instance layout."""
+    """The step-level wiring, fed the REAL YoloPoseDataset convention
+    (normalized cxcywh + normalized kpts): mosaic_prob>0 reports the
+    dropped metric and trains without shape errors."""
     import optax
 
     from tpupose.engine.train_state import (create_train_state,
@@ -148,7 +189,7 @@ def test_yolo_step_applies_mosaic():
     loss = ComputeLoss(num_keypoints=K, num_classes=1)
     step = make_yolo_train_step(lambda p, t: loss(p, t),
                                 mosaic_prob=0.5, mosaic_seed=0)
-    images, boxes, classes, kpts, mask = _batch()
+    images, boxes, classes, kpts, mask = _normalized(*_batch())
     batch = {"images": images, "boxes": boxes, "classes": classes,
              "keypoints": kpts, "instance_mask": mask}
     state, metrics = step(state, batch)

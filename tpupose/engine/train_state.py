@@ -368,7 +368,7 @@ def make_yolo_train_step(loss_fn, mosaic_prob: float = 0.0,
     compiled step per image with this probability, labels transformed in
     lockstep; rng folded from the step counter (deterministic resume).
     """
-    from tpupose.ops.mosaic import mosaic_augment
+    from tpupose.ops.mosaic import mosaic_augment_normalized
     from tpupose.ops.preprocess import normalize_images
 
     def train_step(state: TrainState, batch):
@@ -379,9 +379,12 @@ def make_yolo_train_step(loss_fn, mosaic_prob: float = 0.0,
         if mosaic_prob > 0:
             rng = jax.random.fold_in(jax.random.PRNGKey(mosaic_seed),
                                      state.step)
+            # the *_normalized wrapper handles the convention boundary:
+            # the yolo batch carries normalized cxcywh boxes + normalized
+            # keypoints (data/yolo_pose.py), mosaic works in pixel xyxy
             (images, targets["boxes"], targets["classes"],
              targets["keypoints"], targets["instance_mask"],
-             extra["mosaic_dropped"]) = mosaic_augment(
+             extra["mosaic_dropped"]) = mosaic_augment_normalized(
                 images, targets["boxes"], targets["classes"],
                 targets["keypoints"], targets["instance_mask"], rng,
                 prob=mosaic_prob)

@@ -153,3 +153,27 @@ def mosaic_augment(images, boxes, classes, keypoints, instance_mask, rng,
         jnp.sum(jnp.where(apply, m_drop, 0.0)),
     )
     return out
+
+
+def mosaic_augment_normalized(images, boxes, classes, keypoints,
+                              instance_mask, rng, prob: float = 1.0,
+                              center_range=(0.35, 0.65)):
+    """`mosaic_augment` for the YOLO train-batch convention: boxes are
+    NORMALIZED cxcywh and keypoint x/y are normalized to [0,1]
+    (data/yolo_pose.py label layout). Converts to the pixel-xyxy contract
+    at this boundary, applies the mosaic, and converts back — the
+    convention mismatch that round-2's advisor flagged (labels were being
+    offset by pixel quantities while holding normalized values)."""
+    H, W = images.shape[1:3]
+    cx, cy, w, h = jnp.moveaxis(boxes, -1, 0)
+    px_boxes = jnp.stack([(cx - w / 2) * W, (cy - h / 2) * H,
+                          (cx + w / 2) * W, (cy + h / 2) * H], -1)
+    px_kpts = keypoints * jnp.array([W, H, 1.0], keypoints.dtype)
+    images, px_boxes, classes, px_kpts, instance_mask, dropped = \
+        mosaic_augment(images, px_boxes, classes, px_kpts, instance_mask,
+                       rng, prob=prob, center_range=center_range)
+    x1, y1, x2, y2 = jnp.moveaxis(px_boxes, -1, 0)
+    boxes = jnp.stack([(x1 + x2) / (2 * W), (y1 + y2) / (2 * H),
+                       (x2 - x1) / W, (y2 - y1) / H], -1)
+    keypoints = px_kpts / jnp.array([W, H, 1.0], px_kpts.dtype)
+    return images, boxes, classes, keypoints, instance_mask, dropped
