@@ -117,3 +117,24 @@ def test_trainer_rejects_mismatched_teacher(student_cfg, tmp_path):
         str(tmp_path / "teacher_bad.yaml"), heatmap=(8, 8))
     with pytest.raises(ValueError, match="heatmap grid"):
         Trainer(student_cfg)
+
+
+def test_trainer_rejects_non_heatmap_teacher(student_cfg, tmp_path):
+    """A simcc/deeppose/yolo teacher returns tuples/coords — reject it
+    with a clear error before joints_mse_loss trips on it at trace time
+    (round-2 ADVICE #2)."""
+    from tpupose.engine.trainer import Trainer
+
+    path = str(tmp_path / "teacher_simcc.yaml")
+    with open(path, "w") as f:
+        f.write(
+            "model:\n"
+            "  name: simcc\n"
+            "  backbone: resnet18\n"
+            "  num_keypoints: 4\n"
+            "  heatmap_size: [16, 16]\n"
+            "data:\n"
+            "  image_size: [64, 64]\n")
+    student_cfg.train.distill_cfg = path
+    with pytest.raises(ValueError, match="heatmap-family"):
+        Trainer(student_cfg)

@@ -185,6 +185,52 @@ def test_http_bad_payload_and_routes(tiny_server):
     conn.close()
 
 
+def test_http_server_faults_are_500_and_counted(tiny_server):
+    """Server-side failures (batcher timeout, device faults) must surface
+    as 500, not 400 (round-2 ADVICE #4), and /stats must count failed
+    requests too."""
+    img = np.random.randint(0, 255, (32, 32, 3), np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    batcher = tiny_server.batcher
+    before = batcher.n_requests
+    orig = batcher.submit
+
+    def boom(*a, **k):
+        batcher.n_requests += 1   # what a timed-out submit now does
+        raise TimeoutError("prediction timed out")
+
+    batcher.submit = boom
+    try:
+        status, obj = _post(tiny_server.port, buf.getvalue(),
+                            "application/octet-stream")
+    finally:
+        batcher.submit = orig
+    assert status == 500 and "TimeoutError" in obj["error"]
+    assert batcher.n_requests == before + 1
+
+
+def test_batcher_counts_timed_out_requests():
+    """MicroBatcher.submit itself counts a request that times out."""
+    from tpupose.engine.server import MicroBatcher
+
+    HW2 = (8, 8)
+
+    def never(images, centers, scales):
+        time.sleep(0.5)
+        B = images.shape[0]
+        return np.zeros((B, 4, 2), np.float32), np.zeros((B, 4), np.float32)
+
+    mb = MicroBatcher(never, HW2, max_batch=2, window_ms=1.0)
+    try:
+        with pytest.raises(TimeoutError):
+            mb.submit(np.zeros((*HW2, 3), np.uint8), (0, 0), (1, 1),
+                      timeout=0.05)
+        assert mb.n_requests == 1
+    finally:
+        mb.close()
+
+
 def test_http_concurrent_requests_batch(tiny_server):
     img = np.random.randint(0, 255, (32, 32, 3), np.uint8)
     buf = io.BytesIO()

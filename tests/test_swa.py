@@ -68,6 +68,29 @@ def test_average_all_and_last(ckpt_dir):
     np.testing.assert_allclose(_leaf(avg3.params), 2.0)
 
 
+def test_average_uses_stored_ema_params(tmp_path):
+    """EMA runs serve from ema_params: the SWA artifact must average the
+    STORED EMA weights, not re-derive ema from averaged raw params
+    (round-2 ADVICE #3: the EMA trajectory was silently discarded)."""
+    d = str(tmp_path / "ckpt_ema")
+    model = _Toy()
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 3), jnp.float32),
+                               optax.sgd(0.0), ema_decay=0.99)
+    mgr = CheckpointManager(d)
+    for step, v in ((1, 1.0), (2, 3.0)):
+        st = _const_state(state, v, step)
+        # ema diverges from raw params: 100x the raw value
+        st = st.replace(ema_params=jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, v * 100.0), st.params))
+        mgr.save(step, st, force=True)
+    mgr.close()
+    avg, used = average_checkpoints(d, state)
+    assert used == [1, 2]
+    np.testing.assert_allclose(_leaf(avg.params), 2.0)
+    np.testing.assert_allclose(_leaf(avg.ema_params), 200.0)
+
+
 def test_average_rejects_unknown_steps(ckpt_dir):
     with pytest.raises(ValueError, match="not in"):
         average_checkpoints(ckpt_dir, _state(), steps=[1, 99])

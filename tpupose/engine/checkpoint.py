@@ -180,29 +180,30 @@ def average_checkpoints(directory: str, state, steps=None, last: int = 0):
         if missing:
             raise ValueError(f"steps {missing} not in {avail}")
 
-        acc_p = acc_b = None
+        has_ema = getattr(state, "ema_params", None) is not None
+        acc_p = acc_b = acc_e = None
         for s in steps:
             st, _ = mgr.restore(state, step=s)
-            p = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, jnp.float32), st.params)
-            b = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, jnp.float32), st.batch_stats)
+            f32 = lambda t: jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32), t)
+            p, b = f32(st.params), f32(st.batch_stats)
+            e = f32(st.ema_params) if has_ema else None
             if acc_p is None:
-                acc_p, acc_b = p, b
+                acc_p, acc_b, acc_e = p, b, e
             else:
-                acc_p = jax.tree_util.tree_map(jnp.add, acc_p, p)
-                acc_b = jax.tree_util.tree_map(jnp.add, acc_b, b)
+                add = lambda a, x: jax.tree_util.tree_map(jnp.add, a, x)
+                acc_p, acc_b = add(acc_p, p), add(acc_b, b)
+                acc_e = add(acc_e, e) if has_ema else None
         n = float(len(steps))
-        mean_p = jax.tree_util.tree_map(
-            lambda a, ref: (a / n).astype(ref.dtype), acc_p, state.params)
-        mean_b = jax.tree_util.tree_map(
-            lambda a, ref: (a / n).astype(ref.dtype), acc_b,
-            state.batch_stats)
-        out = state.replace(step=max(steps), params=mean_p,
-                            batch_stats=mean_b)
-        if getattr(state, "ema_params", None) is not None:
-            out = out.replace(ema_params=jax.tree_util.tree_map(
-                jnp.array, mean_p))
+        mean = lambda acc, ref_t: jax.tree_util.tree_map(
+            lambda a, ref: (a / n).astype(ref.dtype), acc, ref_t)
+        out = state.replace(step=max(steps), params=mean(acc_p, state.params),
+                            batch_stats=mean(acc_b, state.batch_stats))
+        if has_ema:
+            # EMA runs serve from ema_params: average the STORED EMA
+            # weights rather than re-deriving them from averaged raw
+            # params (which would silently discard the EMA trajectory)
+            out = out.replace(ema_params=mean(acc_e, state.ema_params))
         printS(f"averaged {len(steps)} checkpoints {steps} from {directory}")
         return out, steps
     finally:

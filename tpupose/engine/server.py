@@ -114,13 +114,17 @@ class MicroBatcher:
                 raise RuntimeError("batcher closed")
             self._q.append(r)
             self._cv.notify()
-        if not r.done.wait(timeout):
-            raise TimeoutError("prediction timed out")
-        if r.error is not None:
-            raise r.error
-        with self._stats_lock:
-            self.n_requests += 1
-            self._lat_s.append(time.perf_counter() - r.t0)
+        try:
+            if not r.done.wait(timeout):
+                raise TimeoutError("prediction timed out")
+            if r.error is not None:
+                raise r.error
+        finally:
+            # every completed request counts, success or not — otherwise
+            # /stats under-reports load exactly when things go wrong
+            with self._stats_lock:
+                self.n_requests += 1
+                self._lat_s.append(time.perf_counter() - r.t0)
         return r.coords, r.scores
 
     def close(self):
@@ -274,12 +278,19 @@ class PoseServer:
                     self._json(404, {"error": "not found"})
                     return
                 try:
+                    # client-fault phase: malformed body/image -> 400
                     n = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(n)
                     ctype = self.headers.get("Content-Type",
                                              "application/octet-stream")
                     crop, (w0, h0) = _decode_body(body, ctype,
                                                   server.input_hw)
+                except Exception as e:
+                    self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                try:
+                    # server-fault phase: batcher/device errors are OURS,
+                    # not the client's -> 500 (TimeoutError, XLA faults)
                     # back-project to source pixels: the evaluator maps
                     # heatmap coords through center/scale of the source
                     center = (w0 / 2.0, h0 / 2.0)
@@ -292,7 +303,7 @@ class PoseServer:
                                      [[round(float(v), 3) for v in row]
                                       for row in kpts]})
                 except Exception as e:
-                    self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.httpd.daemon_threads = True

@@ -107,6 +107,9 @@ class Trainer:
                 return self.loss_fn(mu, sigma, log_phi, target, vis)
 
             self.val_step = jax.jit(_rle_val_step)
+            # forward-only (target=None) returns (mu, sigma); mu feeds the
+            # PCK/PCKh/EPE eval in evaluate_regression
+            self.eval_step = make_heatmap_eval_step()
         elif self.family == "bottom_up":
             from tpupose.engine.train_state import make_bottom_up_train_step
             from tpupose.ops.preprocess import normalize_images as _bu_norm
@@ -201,6 +204,15 @@ class Trainer:
 
         cfg = self.cfg
         tcfg = load_config(cfg.train.distill_cfg)
+        from tpupose.cli.serve import HEATMAP_FAMILIES
+        if tcfg.model.name not in HEATMAP_FAMILIES:
+            # a simcc/deeppose/yolo teacher returns tuples/coords, which
+            # would fail joints_mse_loss at trace time with an opaque
+            # shape error — reject it with a clear one instead
+            raise ValueError(
+                "distill teacher must be a heatmap-family model "
+                f"{HEATMAP_FAMILIES}; got model.name={tcfg.model.name!r} "
+                f"from {cfg.train.distill_cfg}")
         if (tuple(tcfg.model.heatmap_size) != tuple(cfg.model.heatmap_size)
                 or tcfg.model.num_keypoints != cfg.model.num_keypoints):
             raise ValueError(
@@ -526,6 +538,16 @@ class Trainer:
             out = self.evaluate_bottom_up()
             printM("eval: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
             return out
+        if self.family == "yolo":
+            out = {"val_loss": self.validate()}
+            out.update(self.evaluate_yolo())
+            printM("eval: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
+            return out
+        if self.family in ("regression", "rle"):
+            out = {"val_loss": self.validate()}
+            out.update(self.evaluate_regression())
+            printM("eval: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
+            return out
         if self.family not in ("heatmap", "simcc"):
             return {"val_loss": self.validate()}
         ev = self._get_evaluator()
@@ -650,6 +672,137 @@ class Trainer:
         # validate() right before evaluate() (same as the other families)
         return {k: float(v) for k, v in res.items()
                 if isinstance(v, (int, float, np.floating))}
+
+    def evaluate_yolo(self) -> dict:
+        """COCO keypoint mAP for the single-stage (YOLO-pose) family: the
+        fused forward + grid decode + on-device NMS (YoloPosePredictor)
+        over the valid set, OKS-NMS instance dedup, scored by OKS-AP.
+
+        This is the metric the reference's registry aliases for exactly
+        this family (PMet=OKSAP, HPE/core/metric/__init__.py:1-18; legacy
+        trainer intent HPE/engine/trainer.py:110-114) but never wires into
+        a working trainer — here it runs each eval epoch / --test."""
+        from tpupose.engine.predictor import YoloPosePredictor
+        from tpupose.metrics.oks_ap import OKSAP
+        from tpupose.ops.oks_nms import oks_nms
+
+        cfg = self.cfg
+        ecfg = cfg.eval
+        H, W = cfg.data.image_size
+        nc = cfg.model.num_classes
+        pred = YoloPosePredictor(
+            self.state.for_eval(), num_classes=nc,
+            num_keypoints=cfg.model.num_keypoints,
+            conf_threshold=ecfg.conf_threshold,
+            iou_threshold=ecfg.iou_threshold,
+            max_detections=ecfg.max_detections,
+            has_box_branch=(cfg.model.reg_max > 0
+                            or cfg.loss.name == "v8_pose"))
+        ap = OKSAP(num_classes=nc)
+        for batch in self.valid_loader:
+            pm = batch.get("pad_mask")
+            if pm is None:
+                pm = np.ones(len(batch["images"]), bool)
+            det = pred(batch["images"])
+            gt_kpts = np.asarray(batch["keypoints"])    # (B,M,K,3) normalized
+            gt_boxes = np.asarray(batch["boxes"])       # (B,M,4) norm cxcywh
+            gt_cls = np.asarray(batch["classes"])
+            imask = np.asarray(batch["instance_mask"]) > 0
+            for i in range(len(batch["images"])):
+                if not pm[i]:
+                    continue
+                keep = np.where(det["valid"][i] > 0)[0]
+                pk = det["keypoints"][i][..., :2]
+                kv = det["keypoints"][i][..., 2]
+                ps = det["scores"][i]
+                pb = det["boxes"][i]
+                pa = (np.maximum(pb[:, 2] - pb[:, 0], 0.0)
+                      * np.maximum(pb[:, 3] - pb[:, 1], 0.0))
+                if keep.size and ecfg.det_nms == "oks":
+                    # official-protocol instance dedup (ops/oks_nms.py):
+                    # box NMS on device already ran; OKS-NMS removes
+                    # same-pose duplicates that survive box IoU
+                    kept = oks_nms(pk[keep], ps[keep], pa[keep],
+                                   threshold=ecfg.det_nms_threshold,
+                                   kscores=kv[keep],
+                                   vis_threshold=ecfg.det_vis_threshold)
+                    keep = keep[kept]
+                gt_px = gt_kpts[i, :, :, :2] * np.array([W, H], np.float32)
+                gt_vis = gt_kpts[i, :, :, 2]
+                gt_area = (gt_boxes[i, :, 2] * W) * (gt_boxes[i, :, 3] * H)
+                ap.update(pk[keep], ps[keep], gt_px, gt_vis, gt_area,
+                          pred_cls=det["classes"][i][keep],
+                          gt_cls=gt_cls[i], gt_valid=imask[i],
+                          pred_area=pa[keep])
+        res = ap.compute()
+        return {k: float(v) for k, v in res.items()
+                if isinstance(v, (int, float, np.floating))}
+
+    def evaluate_regression(self) -> dict:
+        """PCK/PCKh/EPE for the coordinate-regression family (DeepPose /
+        RLE) — the MPII DeepPose protocol: PCKh@0.5 with the head-segment
+        normalizer from the two head joints (reference:
+        HPE/core/metric/pckh.py:36-77, never wired into a trainer there).
+
+        Predictions (normalized coords) and GT are compared in SOURCE
+        pixels when the dataset provides center/scale (MPII/COCO
+        top-down); otherwise in heatmap-grid coords — a consistent frame,
+        so the normalized PCK/PCKh are unaffected and EPE is reported in
+        that frame's units."""
+        eval_state = self.state.for_eval()
+        Hh, Wh = self.cfg.model.heatmap_size
+        K = self.cfg.model.num_keypoints
+
+        metrics = []
+        for name in self.cfg.eval.metrics:
+            if name == "pck":
+                from tpupose.metrics.pck import PCK
+                metrics.append(PCK(alpha=0.2))
+            elif name == "pckh":
+                from tpupose.metrics.pckh import PCKh
+                if K > 9:   # needs the MPII head joints (9=top, 8=neck)
+                    metrics.append(PCKh())
+            elif name == "mpjpe":
+                from tpupose.metrics.mpjpe import MPJPE
+                metrics.append(MPJPE())
+            elif name == "auc":
+                from tpupose.metrics.auc import AUC
+                metrics.append(AUC())
+            elif name == "epe":
+                from tpupose.metrics.auc import EPE
+                metrics.append(EPE())
+            # oks_ap is instance-level; not applicable to this family
+        if not metrics:
+            from tpupose.metrics.pck import PCK
+            metrics = [PCK(alpha=0.2)]
+
+        for batch in self._eval_batches():
+            preds = self.eval_step(eval_state, batch["images"])
+            if isinstance(preds, tuple):   # RLE returns (mu, sigma)
+                preds = preds[0]
+            pred_hm = np.asarray(preds, np.float32) * [Wh, Hh]
+            vis = np.asarray(batch["visibility"], np.float32)
+            pm = batch.get("pad_mask")
+            if pm is not None:
+                vis = vis * pm[:, None]
+            if "center" in batch:
+                # back-project both to source pixels through the same
+                # affine the heatmap family uses (_eval_batches caches
+                # the jitted vmap of transform_preds)
+                pred_src = np.asarray(self._project_joints(
+                    jnp.asarray(pred_hm), jnp.asarray(batch["center"]),
+                    jnp.asarray(batch["scale"])))
+                gt_src = np.asarray(batch["joints_src"])
+            else:
+                pred_src = pred_hm
+                gt_src = np.asarray(batch["joints"], np.float32)
+            for m in metrics:
+                m.update(pred_src, gt_src, vis)
+        out = {}
+        for m in metrics:
+            out.update({k: float(v) for k, v in m.compute().items()
+                        if isinstance(v, (int, float, np.floating))})
+        return out
 
     def evaluate_detections(self, det_file: str, evaluator=None) -> dict:
         """Official COCO top-down protocol: crops from DETECTOR boxes
