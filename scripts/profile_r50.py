@@ -64,7 +64,7 @@ def main(batch=128):
         return decode_heatmaps(jnp.transpose(hm, (0, 3, 1, 2)), method="dark")
 
     def time_it(name, fn, probe):
-        dt = _steady_s(lambda: fn(dev), probe)
+        dt, _ = _steady_s(lambda: fn(dev), probe)
         stages[name] = dt * 1e3
         print(f"{name:12s} {dt*1e3:8.3f} ms/batch  {batch/dt:10.1f} img/s")
 
