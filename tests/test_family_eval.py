@@ -1,0 +1,172 @@
+"""Metric evaluation wiring for the yolo and regression/RLE families.
+
+The reference's metric registry aliases PMet=OKSAP for the single-stage
+family (HPE/core/metric/__init__.py:1-18) and ships PCKh for the MPII
+DeepPose protocol (HPE/core/metric/pckh.py:36-77), but never wires either
+into a working trainer. Trainer.evaluate_yolo / evaluate_regression do;
+these tests prove the full path with GT-perfect predictions (mAP/PCK must
+come out ~1.0 — any convention slip between the dataset's normalized
+labels and the metric's pixel inputs destroys that).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpupose.configs.default import default_config
+
+
+def _yolo_cfg(tmp_path):
+    cfg = default_config()
+    cfg.model.name = "dinov3_pose"
+    cfg.model.backbone = "dinov3_convnext_atto"
+    cfg.model.num_keypoints = 4
+    cfg.model.num_classes = 3
+    cfg.model.neck_channels = (16, 24, 32)
+    cfg.data.name = "synthetic_yolo"
+    cfg.data.image_size = (64, 64)
+    cfg.data.max_instances = 8
+    cfg.train.batch_size = 8
+    cfg.train.warmup_epochs = 0
+    cfg.train.mixed_precision = False
+    cfg.train.output_dir = str(tmp_path)
+    cfg.loss.name = "pose_compute"
+    return cfg
+
+
+def test_yolo_evaluate_gt_perfect_predictions_score_map_1(tmp_path,
+                                                          monkeypatch):
+    """GT-perfect detections through the ENTIRE evaluate_yolo path
+    (predictor -> OKS-NMS -> OKSAP) must score mAP ~= 1.0."""
+    from tpupose.engine import predictor as predictor_mod
+    from tpupose.engine.trainer import Trainer
+
+    cfg = _yolo_cfg(tmp_path)
+    tr = Trainer(cfg)
+    assert tr.family == "yolo"
+
+    H, W = cfg.data.image_size
+    D = cfg.eval.max_detections
+    K = cfg.model.num_keypoints
+
+    # the valid loader is deterministic (no shuffle): replay its batches
+    # in order and emit each batch's GT as the "detections"
+    batches = iter(list(tr.valid_loader))
+
+    def fake_call(self, images):
+        b = next(batches)
+        B = len(b["images"])
+        out = {
+            "boxes": np.zeros((B, D, 4), np.float32),
+            "scores": np.zeros((B, D), np.float32),
+            "classes": np.zeros((B, D), np.int32),
+            "keypoints": np.zeros((B, D, K, 3), np.float32),
+            "valid": np.zeros((B, D), bool),
+        }
+        for i in range(B):
+            m = np.asarray(b["instance_mask"][i]) > 0
+            n = int(m.sum())
+            kp = np.asarray(b["keypoints"][i][m])          # (n, K, 3) norm
+            bx = np.asarray(b["boxes"][i][m])              # (n, 4) cxcywh
+            out["keypoints"][i, :n, :, :2] = kp[:, :, :2] * [W, H]
+            out["keypoints"][i, :n, :, 2] = 1.0
+            out["scores"][i, :n] = 0.9
+            out["classes"][i, :n] = np.asarray(b["classes"][i][m])
+            x1 = (bx[:, 0] - bx[:, 2] / 2) * W
+            y1 = (bx[:, 1] - bx[:, 3] / 2) * H
+            out["boxes"][i, :n] = np.stack(
+                [x1, y1, x1 + bx[:, 2] * W, y1 + bx[:, 3] * H], -1)
+            out["valid"][i, :n] = True
+        return out
+
+    monkeypatch.setattr(predictor_mod.YoloPosePredictor, "__call__",
+                        fake_call)
+    res = tr.evaluate_yolo()
+    assert res["mAP"] == pytest.approx(1.0, abs=1e-6)
+    assert res["mAP50"] == pytest.approx(1.0, abs=1e-6)
+    assert res["mAP75"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_yolo_evaluate_real_model_returns_metric_schema(tmp_path):
+    """With random weights the real predictor path must still produce the
+    AP schema (values are near the COCO 'not evaluated' floor or 0)."""
+    from tpupose.engine.trainer import Trainer
+
+    cfg = _yolo_cfg(tmp_path)
+    tr = Trainer(cfg)
+    res = tr.evaluate()
+    assert "val_loss" in res and np.isfinite(res["val_loss"])
+    for k in ("mAP", "mAP50", "mAP75", "AR"):
+        assert k in res
+
+
+def _reg_cfg(tmp_path, loss="coord_mse", K=16):
+    cfg = default_config()
+    cfg.model.name = "deeppose"
+    cfg.model.backbone = "resnet18"
+    cfg.model.num_keypoints = K
+    cfg.model.heatmap_size = (16, 16)
+    cfg.model.freeze_backbone = False
+    cfg.data.name = "synthetic"
+    cfg.data.image_size = (64, 64)
+    cfg.train.batch_size = 8
+    cfg.train.warmup_epochs = 0
+    cfg.train.mixed_precision = False
+    cfg.train.output_dir = str(tmp_path)
+    cfg.loss.name = loss
+    cfg.eval.metrics = ("pck", "pckh", "epe")
+    return cfg
+
+
+def test_regression_evaluate_gt_perfect_scores_pck_1(tmp_path, monkeypatch):
+    """GT-perfect coords through evaluate_regression must give
+    pck=pckh=1 and epe~0 (the PCKh head-size normalizer comes from the
+    MPII head joints 9/8, reference HPE/core/metric/pckh.py:36-77)."""
+    from tpupose.engine.trainer import Trainer
+
+    cfg = _reg_cfg(tmp_path)
+    tr = Trainer(cfg)
+    assert tr.family == "regression"
+    Hh, Wh = cfg.model.heatmap_size
+
+    batches = iter(list(tr.valid_loader))
+
+    def fake_eval_step(state, images):
+        b = next(batches)
+        return jnp.asarray(b["joints"], jnp.float32) / jnp.array(
+            [Wh, Hh], jnp.float32)
+
+    monkeypatch.setattr(tr, "eval_step", fake_eval_step)
+    res = tr.evaluate_regression()
+    assert res["pck"] == pytest.approx(1.0, abs=1e-6)
+    assert res["pckh"] == pytest.approx(1.0, abs=1e-6)
+    assert res["epe"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_regression_evaluate_real_model(tmp_path):
+    """evaluate() dispatches the regression family to the metric path:
+    val_loss plus finite pck/pckh/epe from the real (random) model."""
+    from tpupose.engine.trainer import Trainer
+
+    cfg = _reg_cfg(tmp_path)
+    tr = Trainer(cfg)
+    res = tr.evaluate()
+    assert np.isfinite(res["val_loss"])
+    for k in ("pck", "pckh", "epe"):
+        assert k in res and np.isfinite(res[k])
+        if k != "epe":
+            assert 0.0 <= res[k] <= 1.0
+
+
+def test_rle_evaluate_returns_metrics(tmp_path):
+    """The RLE family runs the same PCK path off the (mu, sigma) head."""
+    from tpupose.engine.trainer import Trainer
+
+    cfg = _reg_cfg(tmp_path, loss="rle", K=4)
+    cfg.eval.metrics = ("pck", "epe")
+    tr = Trainer(cfg)
+    assert tr.family == "rle"
+    res = tr.evaluate()
+    assert np.isfinite(res["val_loss"])
+    assert "pck" in res and 0.0 <= res["pck"] <= 1.0
+    assert "epe" in res and np.isfinite(res["epe"])
