@@ -69,6 +69,36 @@ def test_fold_walk_covers_whole_network(backbone, n_blocks):
         seen.add(nd.out)
 
 
+def test_defer_requant_targets_residual_branches():
+    """The round-3 graph pass: every conv whose only consumer is a
+    residual add loses its requant (round/clip/cast) and stays fp32 for
+    XLA to fuse into the add; everything else is untouched."""
+    from tpupose.ops.int8_engine import _defer_requant, _scale_map
+
+    _, variables = _init("resnet18", hw=(64, 48), k=4)
+    nodes, _, _, _ = fold_simple_baseline(variables, "resnet18")
+    out = _defer_requant(nodes)
+    flipped = [b for a, b in zip(nodes, out) if a.quant != b.quant]
+    # resnet18: 8 basic blocks (conv2 of each) + 3 stage downsamples
+    assert len(flipped) == 11
+    assert all(nd.kind == "conv" and not nd.quant for nd in flipped)
+    # the final heatmap conv stays the only OTHER unquantized conv
+    fp32_convs = [nd for nd in out if nd.kind == "conv" and not nd.quant]
+    assert len(fp32_convs) == 12
+
+    # scale bookkeeping: every deferred conv resolves to its add's scale
+    n_q = sum(1 for nd in out if nd.quant and nd.kind in ("conv", "add"))
+    tmap, deferred = _scale_map(out, list(range(1, n_q + 1)))
+    assert len(deferred) == 11
+    consumers = {}
+    for nd in out:
+        for nm in nd.inputs:
+            consumers.setdefault(nm, []).append(nd)
+    for name, t in deferred.items():
+        (add,) = consumers[name]
+        assert add.kind == "add" and tmap[add.out] == t
+
+
 def test_folded_fp32_matches_model_apply():
     """BN folding + normalize folding reproduce the unfolded model. The
     only deviation is the stem border: int8 padding quantizes the

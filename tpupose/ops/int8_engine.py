@@ -469,17 +469,68 @@ def _forward_calib(nodes, weights, stem_pad, in_pad, images):
     return last, amax
 
 
-def _forward_int8(nodes, qweights, scales, stem_pad, in_pad, images):
-    """int8 pass: env holds (int8 tensor, scale) pairs; the fp32 'value'
-    of a stored tensor q with scale t is q * t. `scales` are consumed in
-    the same graph order _forward_calib recorded them."""
-    env = {"in": (_stem_int8(images, stem_pad, in_pad), 1.0)}
-    it = iter([float(s) for s in scales])
+def _defer_requant(nodes):
+    """Graph pass (round 3): a quantized conv whose output feeds EXACTLY
+    one `add` keeps its fp32 accumulator epilogue — pre-scaled into the
+    add's output units — instead of a round/clip/cast requant. XLA then
+    fuses conv + residual add + the single requant into one kernel, so
+    the conv-branch tensor never hits HBM and its round/clip/cast and
+    dequant (convert+mul) VPU work disappears. The affected tensors are
+    the LARGEST in the graph (every bottleneck conv3 / downsample and
+    every HRNet fuse branch), which is exactly where the measured
+    VPU-bound wall sits (module docstring)."""
+    import dataclasses
 
-    def requant(y):
-        t = next(it) / QMAX
-        yq = jnp.clip(jnp.round(y * (1.0 / t)), -QMAX, QMAX).astype(jnp.int8)
-        return yq, t
+    consumers: Dict[str, List[Node]] = {}
+    for nd in nodes:
+        for nm in nd.inputs:
+            consumers.setdefault(nm, []).append(nd)
+    out = []
+    for nd in nodes:
+        cs = consumers.get(nd.out, [])
+        if (nd.kind == "conv" and nd.quant and len(cs) == 1
+                and cs[0].kind == "add" and cs[0].quant):
+            nd = dataclasses.replace(nd, quant=False)
+        out.append(nd)
+    return out
+
+
+def _scale_map(nodes, scales):
+    """Assign calibrated scales to quantized node outputs (graph order,
+    matching _forward_calib's amax recording); also resolve, for each
+    UNquantized conv that feeds a single quantized add (the
+    _defer_requant pattern), the add scale its epilogue pre-folds."""
+    tmap: Dict[str, float] = {}
+    it = iter([float(s) / QMAX for s in scales])
+    for nd in nodes:
+        if nd.quant and nd.kind in ("conv", "add"):
+            tmap[nd.out] = next(it)
+    deferred: Dict[str, float] = {}
+    for nd in nodes:
+        if nd.kind == "add" and nd.quant:
+            for nm in nd.inputs:
+                if nm not in tmap and nm != "in":
+                    src = next((s for s in nodes if s.out == nm), None)
+                    if src is not None and src.kind == "conv" \
+                            and not src.quant:
+                        deferred[nm] = tmap[nd.out]
+    return tmap, deferred
+
+
+def _forward_int8(nodes, qweights, scales, stem_pad, in_pad, images):
+    """int8 pass: env holds (tensor, scale) pairs; the fp32 'value' of a
+    stored tensor q with scale t is q * t (int8 storage normally; fp32
+    for deferred conv->add branches, already in the add's units, and for
+    the final unquantized conv where scale is None). `scales` are
+    consumed in the same graph order _forward_calib recorded them.
+
+    Epilogues fold everything into ONE multiply-add per element: the
+    requant 1/t is pre-merged into the per-channel weight scale and the
+    bias, and relu is folded into the clip's lower bound (relu(y)/t
+    rounded == clip(round(y/t), 0, 127) for t > 0) — the minimal VPU op
+    chain convert/mul/add/round/clip/cast."""
+    env = {"in": (_stem_int8(images, stem_pad, in_pad), 1.0)}
+    tmap, deferred = _scale_map(nodes, scales)
 
     last = None
     for nd in nodes:
@@ -487,12 +538,22 @@ def _forward_int8(nodes, qweights, scales, stem_pad, in_pad, images):
             xq, xs = env[nd.inputs[0]]
             wq, ws, b = qweights[nd.spec.name]
             acc = _conv_any(xq, wq, nd.spec, jnp.int32)
-            y = acc.astype(jnp.float32) * (ws * xs) + b
-            if nd.spec.relu:
-                y = jax.nn.relu(y)
             if nd.quant:
-                env[nd.out] = requant(y)
-            else:
+                t = tmap[nd.out]
+                y = acc.astype(jnp.float32) * (ws * (xs / t)) + b * (1.0 / t)
+                lo = 0.0 if nd.spec.relu else float(-QMAX)
+                yq = jnp.clip(jnp.round(y), lo, QMAX).astype(jnp.int8)
+                env[nd.out] = (yq, t)
+            elif nd.out in deferred:
+                t = deferred[nd.out]
+                y = acc.astype(jnp.float32) * (ws * (xs / t)) + b * (1.0 / t)
+                if nd.spec.relu:
+                    y = jax.nn.relu(y)
+                env[nd.out] = (y, t)     # fp32, already in t-units
+            else:                        # final fp32 conv (the heatmaps)
+                y = acc.astype(jnp.float32) * (ws * xs) + b
+                if nd.spec.relu:
+                    y = jax.nn.relu(y)
                 env[nd.out] = (y, None)
             last = env[nd.out]
         elif nd.kind == "maxpool":
@@ -505,14 +566,24 @@ def _forward_int8(nodes, qweights, scales, stem_pad, in_pad, images):
             env[nd.out] = (_upsample_nearest(xq, thw), xs)
             last = env[nd.out]
         elif nd.kind == "add":
+            t = tmap[nd.out] if nd.quant else None
             y = None
             for nm in nd.inputs:
                 q, s = env[nm]
-                v = q.astype(jnp.float32) * s
+                if t is not None and q.dtype == jnp.float32 and s == t:
+                    v = q                # deferred conv branch: free
+                else:
+                    r = s if t is None else s / t
+                    v = q.astype(jnp.float32) * r
                 y = v if y is None else y + v
-            if nd.relu:
-                y = jax.nn.relu(y)
-            env[nd.out] = requant(y)
+            if nd.quant:
+                lo = 0.0 if nd.relu else float(-QMAX)
+                env[nd.out] = (jnp.clip(jnp.round(y), lo, QMAX)
+                               .astype(jnp.int8), t)
+            else:
+                if nd.relu:
+                    y = jax.nn.relu(y)
+                env[nd.out] = (y, None)
             last = env[nd.out]
         else:  # pragma: no cover
             raise ValueError(nd.kind)
@@ -579,6 +650,7 @@ class Int8Engine:
               calib: Sequence = (), decode_method: str = "dark",
               blur_kernel: int = 11, sigma: float = 2.0):
         nodes, weights, stem_pad, in_pad = _fold(variables, backbone)
+        nodes = _defer_requant(nodes)
         if hasattr(calib, "shape"):
             calib = [calib]
         if not len(calib):
