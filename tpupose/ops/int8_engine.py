@@ -8,17 +8,28 @@ amount of compute tuning helps. The intercept-based PTQ path
 (ops/quant.py) puts the convs on the int8 MXU but keeps every
 inter-layer activation in bf16 (52.7 MB/img): still bandwidth-bound.
 
-The fix is an inference *engine* (the TensorRT-style build step, TPU
-flavor): fold everything affine into the convolutions and store the
-activations themselves as int8, cutting the HBM traffic the bf16
-program is bound by. Measured outcome (v5e, batch 128 R50 256x192):
-the byte cut is real — 34.4 MB/img vs 46.4 (intercept int8) and 60.6
-(bf16) by XLA cost analysis — but throughput lands at PARITY with the
-intercept path (13.9k vs 14.1k img/s): once the convs run int8 and the
-activations shrink, the per-element round/clip/requant epilogues make
-the program VPU-bound rather than HBM-bound. The engine's enduring
-value is the folded uint8 normalize (zero input-quantization error)
-and the self-contained, model-code-free conv DAG. Mechanics:
+The engine is an inference *build step* (the TensorRT analog, TPU
+flavor): fold everything affine into the convolutions, run every conv
+on the int8 MXU, and pick each activation's storage dtype.
+
+Storage policy — MEASURED on v5e (round 3, scripts/mixed_store_sweep.py
++ /tmp probes; batch 128 R50 256x192):
+  - all-int8 storage:       10.9-11.7k img/s, 34-40 MB/img
+  - mixed (>=128ch int8):   11.2-12.3k img/s
+  - all-bf16 storage:       14.3k img/s,      53 MB/img   <- DEFAULT
+Despite the byte cut, int8-STORED activations lose badly: int8 tiles
+are (32 sublane x 128 lane), so every tensor with <128 channels wastes
+half its lanes and the requant/dequant chains around int8 tensors cost
+VPU time the bandwidth saving never pays back. bf16 storage with
+quantize-on-read (the ops/quant.py intercept recipe) keeps the int8
+MXU win on the convs (l2/l3/l4 run ~2x bf16) without the storage tax;
+`min_int8_channels` remains a knob for HBM-constrained deployments.
+Weights bake into the program as constants by default — measured +5-6%
+(XLA pre-packs constant conv operands into the MXU layout at compile
+time); `weights_as_args=True` keeps them as runtime buffers for
+embedding in larger programs. The engine's remaining enduring value:
+the folded uint8 normalize (zero input-quantization error) and the
+self-contained, model-code-free conv DAG. Mechanics:
 
   - BatchNorm folds into the conv weights/bias (W' = W*g/sqrt(v+eps)).
   - The ImageNet uint8 normalize folds into the first conv: x_i8 =
@@ -97,14 +108,25 @@ class Node:
     add       inputs=(a,b,..)  fp32 sum of dequantized inputs [+ relu]
     upsample  inputs=(x,)      nearest by integer `factor` (relayout)
 
-    quant=True stores the output as int8 with a calibrated scale;
-    quant=False leaves it fp32 (the final heatmap conv)."""
+    quant=True means the output has a calibrated scale; `store` then
+    picks its HBM representation: "int8" (1 byte/elem, requant in the
+    producer's epilogue) or "bf16" (real units, quantized on read by the
+    consuming conv). quant=False leaves it fp32 (the final heatmap conv).
+
+    Why two stores (measured, v5e, scripts/engine_segments.py round 3):
+    int8 tensors tile as (32 sublane x 128 lane); a 64-channel tensor
+    wastes half the lanes of every op touching it and layer1 of R50 ran
+    at ~6% MXU — 4.35 ms of an 11.4 ms forward — while the bf16-stored
+    intercept path (ops/quant.py) cruised through the same layers.
+    Narrow tensors therefore store bf16; wide ones (>=128 ch) keep the
+    int8 byte savings."""
 
     kind: str
     out: str
     inputs: Tuple[str, ...]
     spec: Optional[ConvSpec] = None
     quant: bool = True
+    store: str = "int8"            # "int8" | "bf16" (when quant=True)
     relu: bool = False
     factor: Tuple[int, int] = (1, 1)
     # upsample target: the tensor id whose spatial dims to match. With it,
@@ -470,15 +492,17 @@ def _forward_calib(nodes, weights, stem_pad, in_pad, images):
 
 
 def _defer_requant(nodes):
-    """Graph pass (round 3): a quantized conv whose output feeds EXACTLY
-    one `add` keeps its fp32 accumulator epilogue — pre-scaled into the
-    add's output units — instead of a round/clip/cast requant. XLA then
-    fuses conv + residual add + the single requant into one kernel, so
-    the conv-branch tensor never hits HBM and its round/clip/cast and
-    dequant (convert+mul) VPU work disappears. The affected tensors are
-    the LARGEST in the graph (every bottleneck conv3 / downsample and
-    every HRNet fuse branch), which is exactly where the measured
-    VPU-bound wall sits (module docstring)."""
+    """Graph pass: a quantized conv whose output feeds EXACTLY one `add`
+    keeps its fp32 accumulator epilogue — pre-scaled into the add's
+    output units — instead of a round/clip/cast requant, hoping XLA
+    fuses conv + residual add + single requant into one kernel.
+
+    MEASURED NEGATIVE RESULT (v5e, r50 b128, round 3 — scripts/r3_perf.py):
+    XLA does NOT output-fuse the conv with the downstream add on TPU; the
+    deferred branches materialize in fp32 and bytes/img GROW 34.4 -> 52.3
+    MB, throughput 13.9k -> 10.9k img/s. Kept for the record and gated
+    OFF by default (`Int8Engine.build(defer_requant=True)` re-enables for
+    future XLA versions)."""
     import dataclasses
 
     consumers: Dict[str, List[Node]] = {}
@@ -517,73 +541,130 @@ def _scale_map(nodes, scales):
     return tmap, deferred
 
 
-def _forward_int8(nodes, qweights, scales, stem_pad, in_pad, images):
-    """int8 pass: env holds (tensor, scale) pairs; the fp32 'value' of a
-    stored tensor q with scale t is q * t (int8 storage normally; fp32
-    for deferred conv->add branches, already in the add's units, and for
-    the final unquantized conv where scale is None). `scales` are
-    consumed in the same graph order _forward_calib recorded them.
+def _assign_store(nodes, weights, min_int8_channels: int = 128):
+    """Storage-policy pass: quantized tensors NARROWER than
+    `min_int8_channels` store bf16 instead of int8. Rationale in the
+    Node docstring (int8's (32, 128) tiling makes narrow-channel tensors
+    pathologically slow — measured 6% MXU on R50 layer1). min=0 keeps
+    the classic all-int8 engine."""
+    import dataclasses
 
-    Epilogues fold everything into ONE multiply-add per element: the
-    requant 1/t is pre-merged into the per-channel weight scale and the
-    bias, and relu is folded into the clip's lower bound (relu(y)/t
-    rounded == clip(round(y/t), 0, 127) for t > 0) — the minimal VPU op
-    chain convert/mul/add/round/clip/cast."""
-    env = {"in": (_stem_int8(images, stem_pad, in_pad), 1.0)}
+    ch = {"in": 3}
+    out = []
+    for nd in nodes:
+        if nd.kind == "conv":
+            k, _ = weights[nd.spec.name]
+            c = int(k.shape[-1])
+        else:
+            c = ch[nd.inputs[0]]
+        ch[nd.out] = c
+        if (nd.quant and nd.kind in ("conv", "add")
+                and c < min_int8_channels):
+            nd = dataclasses.replace(nd, store="bf16")
+        out.append(nd)
+    return out
+
+
+def _forward_int8(nodes, qweights, scales, stem_pad, in_pad, images):
+    """Mixed-precision pass: env holds (tensor, scale, mode) triples.
+
+    mode "i8":   int8 storage, value = q * scale
+    mode "bf16": bf16 storage in REAL units; `scale` is the calibrated
+                 quantization step a consuming conv uses to make its
+                 int8 operand (requant-on-read)
+    mode "f32t": fp32 in `scale`-units (the defer-requant branch)
+    mode "f32":  fp32 real units, scale None (final heatmaps)
+
+    `scales` are consumed in the same graph order _forward_calib
+    recorded them. int8-store epilogues fold everything into ONE
+    multiply-add per element: the requant 1/t pre-merged into the
+    per-channel weight scale and bias, relu folded into the clip's
+    lower bound (relu(y)/t rounded == clip(round(y/t), 0, 127), t > 0)."""
+    env = {"in": (_stem_int8(images, stem_pad, in_pad), 1.0, "i8")}
     tmap, deferred = _scale_map(nodes, scales)
+
+    def as_int8_operand(nm):
+        """Conv input: int8 tensor + its scale, quantizing bf16 storage
+        on the fly (the intercept path's recipe, ops/quant.py)."""
+        q, s, mode = env[nm]
+        if mode == "i8":
+            return q, s
+        assert mode == "bf16", f"conv input must be i8/bf16, got {mode}"
+        xq = jnp.clip(jnp.round(q.astype(jnp.float32) * (1.0 / s)),
+                      -QMAX, QMAX).astype(jnp.int8)
+        return xq, s
 
     last = None
     for nd in nodes:
         if nd.kind == "conv":
-            xq, xs = env[nd.inputs[0]]
+            xq, xs = as_int8_operand(nd.inputs[0])
             wq, ws, b = qweights[nd.spec.name]
             acc = _conv_any(xq, wq, nd.spec, jnp.int32)
-            if nd.quant:
+            if nd.quant and nd.store == "int8":
                 t = tmap[nd.out]
                 y = acc.astype(jnp.float32) * (ws * (xs / t)) + b * (1.0 / t)
                 lo = 0.0 if nd.spec.relu else float(-QMAX)
                 yq = jnp.clip(jnp.round(y), lo, QMAX).astype(jnp.int8)
-                env[nd.out] = (yq, t)
+                env[nd.out] = (yq, t, "i8")
+            elif nd.quant:               # bf16 store, real units
+                y = acc.astype(jnp.float32) * (ws * xs) + b
+                if nd.spec.relu:
+                    y = jax.nn.relu(y)
+                env[nd.out] = (y.astype(jnp.bfloat16), tmap[nd.out], "bf16")
             elif nd.out in deferred:
                 t = deferred[nd.out]
                 y = acc.astype(jnp.float32) * (ws * (xs / t)) + b * (1.0 / t)
                 if nd.spec.relu:
                     y = jax.nn.relu(y)
-                env[nd.out] = (y, t)     # fp32, already in t-units
+                env[nd.out] = (y, t, "f32t")
             else:                        # final fp32 conv (the heatmaps)
                 y = acc.astype(jnp.float32) * (ws * xs) + b
                 if nd.spec.relu:
                     y = jax.nn.relu(y)
-                env[nd.out] = (y, None)
+                env[nd.out] = (y, None, "f32")
             last = env[nd.out]
         elif nd.kind == "maxpool":
-            xq, xs = env[nd.inputs[0]]
-            env[nd.out] = (_maxpool(xq, jnp.int8(-128)), xs)
+            xq, xs, mode = env[nd.inputs[0]]
+            pad = jnp.int8(-128) if mode == "i8" else jnp.bfloat16(-jnp.inf)
+            env[nd.out] = (_maxpool(xq, pad), xs, mode)
             last = env[nd.out]
         elif nd.kind == "upsample":
-            xq, xs = env[nd.inputs[0]]
+            xq, xs, mode = env[nd.inputs[0]]
             thw = _upsample_target(nd, xq, env, unwrap=lambda v: v[0])
-            env[nd.out] = (_upsample_nearest(xq, thw), xs)
+            env[nd.out] = (_upsample_nearest(xq, thw), xs, mode)
             last = env[nd.out]
         elif nd.kind == "add":
             t = tmap[nd.out] if nd.quant else None
+            int8_out = nd.quant and nd.store == "int8"
+            modes = [env[nm][2] for nm in nd.inputs]
+            # fold per-input s/t into the dequant muls only when the
+            # result is requantized AND no input is already real-units
+            fold = int8_out and all(m in ("i8", "f32t") for m in modes)
             y = None
             for nm in nd.inputs:
-                q, s = env[nm]
-                if t is not None and q.dtype == jnp.float32 and s == t:
-                    v = q                # deferred conv branch: free
+                q, s, mode = env[nm]
+                if mode == "bf16":
+                    v = q.astype(jnp.float32)
+                elif mode == "f32t":
+                    v = q if (fold and s == t) else q * (s if not fold
+                                                         else s / t)
                 else:
-                    r = s if t is None else s / t
-                    v = q.astype(jnp.float32) * r
+                    v = q.astype(jnp.float32) * (s / t if fold else s)
                 y = v if y is None else y + v
-            if nd.quant:
+            if int8_out:
+                if not fold:
+                    y = y * (1.0 / t)
                 lo = 0.0 if nd.relu else float(-QMAX)
                 env[nd.out] = (jnp.clip(jnp.round(y), lo, QMAX)
-                               .astype(jnp.int8), t)
+                               .astype(jnp.int8), t, "i8")
+            elif nd.quant:               # bf16 store
+                if nd.relu:
+                    y = jax.nn.relu(y)
+                env[nd.out] = (y.astype(jnp.bfloat16), t, "bf16")
             else:
                 if nd.relu:
                     y = jax.nn.relu(y)
-                env[nd.out] = (y, None)
+                env[nd.out] = (y, None, "f32")
             last = env[nd.out]
         else:  # pragma: no cover
             raise ValueError(nd.kind)
@@ -625,32 +706,53 @@ class Int8Engine:
 
     def __init__(self, nodes, qweights, scales, stem_pad, in_pad,
                  decode_method="dark", blur_kernel: int = 11,
-                 sigma: float = 2.0):
+                 sigma: float = 2.0, weights_as_args: bool = False):
         self._nodes = nodes
         self._qw = qweights
         self._scales = tuple(scales)
         self._pad = stem_pad
         self._in_pad = in_pad
-        self._fwd = jax.jit(
-            lambda w, imgs: _forward_int8(nodes, w, self._scales, stem_pad,
-                                          in_pad, imgs))
+        # weights_as_args=False BAKES the int8 weights into the program as
+        # XLA constants: measured +5-6% e2e on v5e (XLA pre-packs constant
+        # conv operands into the MXU layout at compile time; runtime-arg
+        # weights relayout per call). The argument form remains for
+        # embedding in larger programs (forward_traceable) where baking
+        # would constant-fold tens of MB into every caller's executable.
+        if weights_as_args:
+            wc = None
+        else:
+            wc = jax.device_get(qweights)    # host constants -> baked
+
+        def _fwd(w, imgs):
+            return _forward_int8(nodes, w, self._scales, stem_pad, in_pad,
+                                 imgs)
 
         def _dec(w, imgs):
-            hm = _forward_int8(nodes, w, self._scales, stem_pad, in_pad,
-                               imgs)
+            hm = _fwd(w, imgs)
             from tpupose.ops.decode import decode_heatmaps
             return decode_heatmaps(jnp.transpose(hm, (0, 3, 1, 2)),
                                    method=decode_method,
                                    blur_kernel=blur_kernel, sigma=sigma)
 
-        self._dec = jax.jit(_dec)
+        if wc is None:
+            self._fwd = jax.jit(_fwd)
+            self._dec = jax.jit(_dec)
+        else:
+            # keep the (w, imgs) signature for callers; w is ignored
+            self._fwd = jax.jit(lambda w, imgs, _f=_fwd: _f(wc, imgs))
+            self._dec = jax.jit(lambda w, imgs, _f=_dec: _f(wc, imgs))
 
     @classmethod
     def build(cls, variables, backbone: str = "resnet50",
               calib: Sequence = (), decode_method: str = "dark",
-              blur_kernel: int = 11, sigma: float = 2.0):
+              blur_kernel: int = 11, sigma: float = 2.0,
+              defer_requant: bool = False,
+              min_int8_channels: int = 1 << 30,
+              weights_as_args: bool = False):
         nodes, weights, stem_pad, in_pad = _fold(variables, backbone)
-        nodes = _defer_requant(nodes)
+        nodes = _assign_store(nodes, weights, min_int8_channels)
+        if defer_requant:   # measured slower on current XLA; see the pass
+            nodes = _defer_requant(nodes)
         if hasattr(calib, "shape"):
             calib = [calib]
         if not len(calib):
@@ -664,7 +766,8 @@ class Int8Engine:
                                              for a, g in zip(amax, got)]
         amax = [max(a, 1e-6) for a in amax]
         return cls(nodes, _quantize_weights(weights), amax, stem_pad,
-                   in_pad, decode_method, blur_kernel, sigma)
+                   in_pad, decode_method, blur_kernel, sigma,
+                   weights_as_args=weights_as_args)
 
     def __call__(self, images):
         return self._fwd(self._qw, jnp.asarray(images))
