@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpupose.losses.assigner import TaskAlignedAssigner
 from tpupose.losses.v8 import dfl_loss, v8DetectionLoss, v8PoseLoss
@@ -98,6 +99,7 @@ def test_v8_detection_loss_finite_and_jits():
     assert set(parts) == {"box", "cls", "dfl"}
 
 
+@pytest.mark.slow
 def test_v8_pose_loss_finite_and_grads_flow():
     nc, rm, K = 2, 8, 4
     loss = v8PoseLoss(num_keypoints=K, num_classes=nc, reg_max=rm, strides=(8,))
@@ -154,6 +156,7 @@ def test_pose_head_v8_variant_matches_loss_layout():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_builder_v8_pose_head_loss_pairing(tmp_path):
     """Builder auto-selects reg_max=16 for loss v8_pose so the built model
     and loss are trace-compatible end to end."""

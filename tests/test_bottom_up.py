@@ -165,6 +165,7 @@ def test_decode_ae_single_person_no_spurious_groups():
     assert tuple(out["coords"][0, 0, 1]) == (15.0, 15.0)
 
 
+@pytest.mark.slow
 def test_bottom_up_train_step_learns():
     import optax
 
@@ -382,6 +383,7 @@ def test_bottom_up_training_localizes_and_groups():
     assert res["mAP50"] > 0.3, res
 
 
+@pytest.mark.slow
 def test_sigterm_saves_resumable_checkpoint(tmp_path):
     """SIGTERM inside train()'s signal guard saves a checkpoint before
     exit (preemption recovery, SURVEY.md §5.3)."""

@@ -77,6 +77,7 @@ def test_coco_train_augmentation_keeps_labels_valid(coco_root):
         assert (j[:, 1] >= 0).all() and (j[:, 1] < 64).all()
 
 
+@pytest.mark.slow
 def test_evaluator_recovers_synthetic_keypoints():
     """A fake 'model' that outputs perfect Gaussian heatmaps: the evaluator
     (flip-test + DARK + back-projection) must recover GT source coords."""

@@ -20,6 +20,9 @@ import torch.nn as nn  # noqa: E402
 
 from tpupose.utils.convert import convert_convnext, convert_vit  # noqa: E402
 
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 class LayerNormCF(nn.Module):
     """channels_first LayerNorm (the facebook ConvNeXt stem/downsample

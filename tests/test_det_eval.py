@@ -185,6 +185,7 @@ def test_det_eval_threshold_and_results(det_root, tmp_path):
         assert r["category_id"] == 1
 
 
+@pytest.mark.slow
 def test_det_eval_trainer_wiring(det_root, tmp_path, monkeypatch):
     """cfg.eval.det_boxes drives Trainer.evaluate -> det_* metrics."""
     from tpupose.configs import default_config

@@ -10,6 +10,9 @@ import pytest
 
 from tpupose.ops.affine import random_affine_augment
 
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 def test_identity_when_factors_zero():
     rng = np.random.RandomState(0)

@@ -19,6 +19,9 @@ from tpupose.engine.train_state import (create_train_state,
                                         make_heatmap_train_step)
 from tpupose.models.simple_baseline import SimpleBaseline
 
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 def _mk_state(lr=1e-3, seed=0):
     # 32x32 input -> C5 1x1 -> three deconvs -> 8x8 heatmaps

@@ -114,6 +114,7 @@ def test_ema_restores_pre_ema_checkpoint(tmp_path):
                            jax.device_get(restored.params))
 
 
+@pytest.mark.slow
 def test_trainer_ema_end_to_end():
     """Trainer with train.ema_decay: the fused heatmap train step updates
     the EMA, and validate() runs on the EMA weights."""

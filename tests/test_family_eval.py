@@ -15,6 +15,9 @@ import pytest
 
 from tpupose.configs.default import default_config
 
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 def _yolo_cfg(tmp_path):
     cfg = default_config()

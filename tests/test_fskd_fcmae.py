@@ -62,6 +62,7 @@ def test_prototypes_masked_mean():
     np.testing.assert_allclose(np.asarray(p), [[2.0, 0.0], [0.0, 5.0]])
 
 
+@pytest.mark.slow
 def test_fskd_forward_and_episode_loss():
     from tpupose.models.fskd import FSKD, fskd_episode_loss
 
@@ -110,6 +111,7 @@ def test_maml_adapt_reduces_support_loss():
     assert after < before
 
 
+@pytest.mark.slow
 def test_fcmae_mask_and_loss():
     from tpupose.models.fcmae import FCMAE, gen_random_mask, patchify
 
@@ -132,6 +134,7 @@ def test_fcmae_mask_and_loss():
     assert out["pred"].shape == (2, 4, 32 * 32 * 3)
 
 
+@pytest.mark.slow
 def test_fcmae_grads_only_through_visible_encoder():
     """Masked patches contribute loss only through the decoder/mask token —
     the encoder's masked activations are zeroed (masked-dense invariant)."""

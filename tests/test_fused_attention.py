@@ -10,6 +10,7 @@ bf16 tolerance (r2 log; see module docstring for the measured 2.5x)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpupose.ops.attention import fused_attention
 
@@ -58,6 +59,7 @@ def test_gradients_flow():
         assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_jit_and_vit_shapes():
     # the DINOv3 pose shape family: prefix tokens make L % 128 != 0
     rng = np.random.RandomState(3)

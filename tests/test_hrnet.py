@@ -3,6 +3,11 @@ import jax.numpy as jnp
 
 from tpupose.models.backbones.hrnet import HRNet, HRNetPose
 
+import pytest
+
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 def test_hrnet_stride4_output():
     m = HRNet(width=8, modules=(1, 1, 1), dtype=jnp.float32)

@@ -47,6 +47,7 @@ def test_stem_int8_input_is_exact():
 
 @pytest.mark.parametrize("backbone,n_blocks", [("resnet18", 8),
                                                ("resnet50", 16)])
+@pytest.mark.slow
 def test_fold_walk_covers_whole_network(backbone, n_blocks):
     _, variables = _init(backbone, hw=(64, 48), k=4)
     nodes, weights, stem_pad, in_pad = fold_simple_baseline(variables,
@@ -137,6 +138,7 @@ def test_hrnet_fold_matches_model_apply():
     assert c > 0.999
 
 
+@pytest.mark.slow
 def test_hrnet_fold_odd_input_size():
     """Non-32-divisible inputs: ceil-division branch resolutions make the
     fuse upsample ratios non-integer; the engine must take the same

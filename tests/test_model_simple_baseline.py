@@ -6,6 +6,9 @@ import pytest
 from tpupose.models.simple_baseline import SimpleBaseline
 from tpupose.models.backbones.resnet import ResNet
 
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name", ["resnet18", "resnet50"])
 def test_resnet_stage_shapes(name):

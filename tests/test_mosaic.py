@@ -169,6 +169,7 @@ def test_normalized_wrapper_keeps_labels_in_lockstep():
             assert o_box[i, j, 3] < 20 / H + 1e-6
 
 
+@pytest.mark.slow
 def test_yolo_step_applies_mosaic():
     """The step-level wiring, fed the REAL YoloPoseDataset convention
     (normalized cxcywh + normalized kpts): mosaic_prob>0 reports the

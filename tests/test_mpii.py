@@ -130,6 +130,7 @@ def test_batch_and_builder_wiring(tmp_path):
     assert "joints_src" in batch and "center" in batch
 
 
+@pytest.mark.slow
 def test_trainer_evaluator_gets_mpii_flip_pairs(tmp_path):
     _write_mpii(str(tmp_path))
     from tpupose.configs.default import Config

@@ -13,6 +13,9 @@ from tpupose.ops.pallas_layer1 import (fold_layer1_weights,
                                        layer1_pallas, layer1_reference,
                                        make_layer1_interceptor)
 
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def backbone():

@@ -4,6 +4,11 @@ import numpy as np
 
 import optax
 
+import pytest
+
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 def _tiny_state():
     from tpupose.engine.train_state import create_train_state

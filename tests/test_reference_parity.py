@@ -328,6 +328,7 @@ def _ref_compute_loss(ref, nc, K, use_oks=True):
     return rl
 
 
+@pytest.mark.slow
 def test_compute_loss_parity(ref):
     """Full center-cell ComputeLoss on identical inputs. One GT per image
     (so num_pos is identical per scale) with the documented normalization

@@ -17,6 +17,9 @@ from tpupose.models.backbones.hrnet import HRNetPose
 from tpupose.models.backbones.vit import DinoViT
 from tpupose.models.simple_baseline import SimpleBaseline
 
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 def _tree_paths(tree):
     return {jax.tree_util.keystr(p)

@@ -65,6 +65,7 @@ def test_rle_loss_hand_computed():
     assert float(rle_loss(mu, sigma, log_phi, target, vis)) == 0.0
 
 
+@pytest.mark.slow
 def test_rle_train_step_learns():
     """A few steps on a fixed batch: NLL decreases and mu moves toward the
     target."""

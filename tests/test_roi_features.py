@@ -6,6 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 def naive_roi_mean(fmap, boxes, image_size):
     """Loop oracle for roi_mean_pool (identical cell rounding/clamping)."""

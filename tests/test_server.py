@@ -132,6 +132,7 @@ def _post(port, body, ctype):
     return out
 
 
+@pytest.mark.slow
 def test_http_predict_npy(tiny_server):
     img = np.random.randint(0, 255, (32, 32, 3), np.uint8)
     buf = io.BytesIO()
@@ -146,6 +147,7 @@ def test_http_predict_npy(tiny_server):
     assert (kp[:, 0] >= -2.5).all() and (kp[:, 0] <= 34.5).all()
 
 
+@pytest.mark.slow
 def test_http_predict_jpeg_rescales_to_source(tiny_server):
     from PIL import Image
 
@@ -164,6 +166,7 @@ def test_http_predict_jpeg_rescales_to_source(tiny_server):
     assert (kp[:, 1] >= -4.5).all() and (kp[:, 1] <= 52.5).all()
 
 
+@pytest.mark.slow
 def test_http_bad_payload_and_routes(tiny_server):
     status, obj = _post(tiny_server.port, b"not an image", "image/jpeg")
     assert status == 400 and "error" in obj
@@ -185,6 +188,7 @@ def test_http_bad_payload_and_routes(tiny_server):
     conn.close()
 
 
+@pytest.mark.slow
 def test_http_server_faults_are_500_and_counted(tiny_server):
     """Server-side failures (batcher timeout, device faults) must surface
     as 500, not 400 (round-2 ADVICE #4), and /stats must count failed
@@ -231,6 +235,7 @@ def test_batcher_counts_timed_out_requests():
         mb.close()
 
 
+@pytest.mark.slow
 def test_http_concurrent_requests_batch(tiny_server):
     img = np.random.randint(0, 255, (32, 32, 3), np.uint8)
     buf = io.BytesIO()

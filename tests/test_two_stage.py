@@ -8,6 +8,9 @@ import pytest
 
 from tpupose.engine.two_stage import TwoStagePosePredictor, boxes_to_center_scale
 
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 def test_center_scale_matches_host_convention():
     from tpupose.data.coco import CocoTopDownDataset

@@ -5,6 +5,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 def test_dinovit_outputs_and_rope_shapes():
     from tpupose.models.backbones.vit import DinoViT, rope_2d_sincos

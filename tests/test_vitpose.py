@@ -7,6 +7,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# full-model compiles: slow tier (tests/README.md)
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("decoder", ["classic", "simple"])
 def test_vitpose_output_shape(decoder):

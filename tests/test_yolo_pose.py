@@ -26,6 +26,7 @@ def test_dist2bbox_roundtrip():
     np.testing.assert_allclose(xywh[0], [5.0, 4.0, 4.0, 4.0])
 
 
+@pytest.mark.slow
 def test_pose_head_train_and_eval_shapes():
     K, ncls = 4, 7
     head = PoseHead(num_classes=ncls, kpt_shape=(K, 3), dtype=jnp.float32)
@@ -168,6 +169,7 @@ def test_compute_loss_sample_mask_excludes_padded_rows():
     np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_v8_loss_sample_mask_excludes_padded_rows():
     from tpupose.losses.v8 import v8PoseLoss
 
