@@ -21,9 +21,22 @@ TAIL of stdout and may kill the process at an unknown timeout, so the
 headline JSON line is measured FIRST, printed immediately, and flushed;
 every later improvement or extra re-prints a complete updated headline
 line (all printed lines are valid headline lines — whichever the parser
-picks works). Extras are budget-gated (`BENCH_BUDGET_S`, default 2700 s)
-and mirrored incrementally to `BENCH_LOG.json` so a partial run still
-leaves citable evidence on disk.
+picks works). Extras are budget-gated (`BENCH_BUDGET_S`) and mirrored
+incrementally to `BENCH_LOG.json` so a partial run still leaves citable
+evidence on disk.
+
+Round-4 hardening (VERDICT.md tasks 2-3 + ADVICE.md): the budget
+default is 1200 s (the observed driver window is ~1600 s; round 3's
+default 2700 survived only by luck); the five GRADED configs
+(BASELINE.json:6-12) are attempted before any beyond-parity extra and
+are skipped only when almost no time remains; the headline `metric`
+name now ENCODES the precision/path whenever the reported `value` is
+not the plain bf16 path (e.g. `..._e2e_infer[int8-engine]`), and the
+bf16 figure is always carried at top level as `bf16_img_per_s`, so
+cross-round or cross-baseline parsers can no longer compare different
+precisions without noticing; the video benchmark reports the MEDIAN of
+three two-point fits (round 3's best-of-2 swung 2x between driver
+runs).
 
 Usage: python bench.py [--quick]   (--quick: headline config only)
 """
@@ -154,6 +167,55 @@ def bench_r50_latency(ctx):
         _steady_s(lambda: step(dev), probe, n1=2, n2=4)  # compile+warm
         out[f"p50_ms_b{batch}"] = round(
             _latency_p50(lambda: step(dev), probe), 2)
+    return out
+
+
+def bench_r50_pallas_stem(ctx):
+    """Round-4 fused serving path: Pallas stem+pool (ops/pallas_stem.py)
+    + Pallas layer1 (ops/pallas_layer1.py) composed into the e2e
+    program, bf16 tail and int8-PTQ tail variants. This removes the
+    layer1 LAYOUT WALL at its source (BASELINE.md round-3/4 analysis):
+    XLA never owns a 3-channel conv, so the batch-in-lanes layout never
+    materializes."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpupose.ops.decode import decode_heatmaps
+    from tpupose.ops.pallas_stem import fast_r50_stem_apply
+    from tpupose.ops.preprocess import normalize_images
+    from tpupose.ops.quant import calibrate
+
+    model, variables = ctx["model"], ctx["variables"]
+    imgs, dev, probe = ctx["imgs"], ctx["dev"], ctx["probe"]
+    batch = ctx["batch"]
+
+    @jax.jit
+    def step_bf16(images):
+        x = normalize_images(images)
+        hm = fast_r50_stem_apply(model.apply, variables, None, x,
+                                 train=False)
+        hm = jnp.transpose(hm, (0, 3, 1, 2))
+        return decode_heatmaps(hm, method="dark")
+
+    dt, dt_best = _steady_s(lambda: step_bf16(dev), probe)
+    out = {"pallas_stem_img_per_s": round(batch / dt, 2),
+           "pallas_stem_img_per_s_best": round(batch / dt_best, 2)}
+
+    scales = calibrate(model.apply, variables, [jnp.asarray(imgs)],
+                       preprocess=normalize_images, train=False)
+    ctx["quant_scales"] = scales
+
+    @jax.jit
+    def step_int8(images):
+        x = normalize_images(images)
+        hm = fast_r50_stem_apply(model.apply, variables, scales, x,
+                                 train=False)
+        hm = jnp.transpose(hm, (0, 3, 1, 2))
+        return decode_heatmaps(hm, method="dark")
+
+    dt, dt_best = _steady_s(lambda: step_int8(dev), probe)
+    out["int8_pallas_stem_img_per_s"] = round(batch / dt, 2)
+    out["int8_pallas_stem_img_per_s_best"] = round(batch / dt_best, 2)
     return out
 
 
@@ -426,15 +488,30 @@ def bench_r50_train(tmp="/tmp/bench_coco"):
     from tpupose.data.coco import CocoTopDownDataset
     from tpupose.data.loader import BatchLoader
 
-    ds = CocoTopDownDataset(
+    kw = dict(
         image_dir=os.path.join(tmp, "train2017"),
         ann_file=os.path.join(tmp, "annotations",
                               "person_keypoints_train2017.json"),
         image_size=(H, W), heatmap_size=(64, 48), is_train=True,
-        decode_threads=8)
+        decode_threads=0)  # auto: one per host core
+    # standalone native decode+warp rate (isolates io.cc from the Python
+    # label/loader overhead — VERDICT.md r3 task 6 evidence)
+    ds = CocoTopDownDataset(**kw)
+    idx = np.arange(len(ds)) % len(ds)
+    t0 = time.perf_counter()
+    ds.get_batch(idx[:256])
+    out["native_decode_warp_img_per_s"] = round(
+        256 / (time.perf_counter() - t0), 2)
+
+    # full pipeline with the decode-once/warp-per-epoch cache (timed
+    # epochs are cache-warm; the first, cache-cold epoch is reported too)
+    ds = CocoTopDownDataset(decode_cache_mb=512, **kw)
     loader = BatchLoader(ds, batch_size=B, shuffle=True, num_workers=4)
-    for b in loader:      # warm epoch (page cache, thread pools)
-        pass
+    n0, t0 = 0, time.perf_counter()
+    for b in loader:      # cold epoch: decodes + fills the cache
+        n0 += b["images"].shape[0]
+    out["pipeline_cold_img_per_s"] = round(
+        n0 / (time.perf_counter() - t0), 2)
     n, t0 = 0, time.perf_counter()
     for _ in range(3):
         for b in loader:
@@ -570,15 +647,22 @@ def bench_video():
         return time.perf_counter() - t0
 
     run(3)  # warmup (compile)
-    # two-point fit removes the pipeline fill/drain constant; best of 2
-    dt = float("inf")
-    for _ in range(2):
+    run(3)  # second warmup chunk-train (page in the whole pipeline)
+    # two-point fit removes the pipeline fill/drain constant. Round 3's
+    # best-of-2 swung 2x between driver runs (README 41.4 vs driver 19.9
+    # fps, VERDICT.md weak #1); the MEDIAN of three fits is the reported
+    # figure, with the best kept alongside for the tunnel-transient view.
+    slopes = []
+    for _ in range(3):
         t1, t2 = run(3), run(11)
-        dt = min(dt, max((t2 - t1) / 8, 1e-9))
+        slopes.append(max((t2 - t1) / 8, 1e-9))
+    dt = float(np.median(slopes))
     # batch-1 streaming latency path for reference
     f1 = batch[:1]
     p50 = _latency_p50(lambda: pred(f1), lambda det: None, n=6)
-    out = {"video_fps": round(VB / dt, 2), "stream_p50_ms_b1": round(p50, 2)}
+    out = {"video_fps": round(VB / dt, 2),
+           "video_fps_best": round(VB / min(slopes), 2),
+           "stream_p50_ms_b1": round(p50, 2)}
 
     # two-stage variant (the config's literal shape): detector boxes ->
     # Pallas device crops -> batched SimpleBaseline-R50 top-down pose
@@ -625,11 +709,12 @@ def bench_video():
         return time.perf_counter() - t0
 
     run2(3)  # warmup (compile)
-    dt2 = float("inf")
-    for _ in range(2):
+    slopes2 = []
+    for _ in range(3):
         t1, t2 = run2(3), run2(11)
-        dt2 = min(dt2, max((t2 - t1) / 8, 1e-9))
-    out["two_stage_fps"] = round(VB / dt2, 2)
+        slopes2.append(max((t2 - t1) / 8, 1e-9))
+    out["two_stage_fps"] = round(VB / float(np.median(slopes2)), 2)
+    out["two_stage_fps_best"] = round(VB / min(slopes2), 2)
     return out
 
 
@@ -659,23 +744,34 @@ def _run_capped(fn, cap_s):
 def main():
     _enable_compile_cache()
     quick = "--quick" in sys.argv
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
     extra = {}
-    headline = {"img_per_s": 0.0, "img_per_s_best": 0.0, "precision": "bf16"}
+    headline = {"img_per_s": 0.0, "img_per_s_best": 0.0, "precision": "bf16",
+                "bf16_img_per_s": 0.0}
     log_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_LOG.json")
 
     def emit():
         """Print a COMPLETE headline line now (flush) and mirror it to the
         sidecar. Every printed line is a valid final line: whichever one
-        the driver's tail parser picks, it gets the best-known numbers."""
+        the driver's tail parser picks, it gets the best-known numbers.
+
+        Precision disclosure (ADVICE.md r3, medium): when `value` is not
+        the plain bf16 path, the `metric` NAME carries the path suffix so
+        no parser can silently compare different precisions; the bf16
+        figure always rides along as `bf16_img_per_s`.
+        """
         ips = headline["img_per_s"]
+        name = "simple_baseline_r50_256x192_e2e_infer"
+        if headline["precision"] != "bf16":
+            name += f"[{headline['precision']}]"
         line = {
-            "metric": "simple_baseline_r50_256x192_e2e_infer",
+            "metric": name,
             "value": ips,
             "unit": "img/s/chip",
             "vs_baseline": round(ips / REFERENCE_IPS, 3),
             "precision": headline["precision"],
+            "bf16_img_per_s": headline["bf16_img_per_s"],
             "img_per_s_best": headline["img_per_s_best"],
             "elapsed_s": round(time.perf_counter() - _T0, 1),
             "extra": extra,
@@ -701,41 +797,58 @@ def main():
     r50 = bench_r50_headline(ctx)
     extra["r50_infer"] = r50
     better(r50, "img_per_s", "bf16")
+    headline["bf16_img_per_s"] = r50["img_per_s"]
     emit()
 
-    # --- remaining stages, cheapest-evidence-first within each tier, each
-    # budget-gated on wall clock and SIGALRM-capped ------------------------
+    # --- remaining stages. Two tiers (VERDICT.md r3 task 3): the GRADED
+    # configs (BASELINE.json:6-12) run as long as ANY reasonable time
+    # remains (gated only on a 60 s floor, SIGALRM-capped to the smaller
+    # of their historical cost x2 and the remaining budget), then the
+    # beyond-parity extras run strictly budget-gated on their estimate. --
     stages = [
-        ("r50_int8", lambda: bench_r50_int8(ctx), 240),
-        ("r50_int8_engine", lambda: bench_r50_int8_engine(ctx), 240),
-        ("r50_latency", lambda: bench_r50_latency(ctx), 180),
+        # (name, fn, est_s, graded)
+        ("r50_pallas_stem", lambda: bench_r50_pallas_stem(ctx), 180, True),
+        ("r50_int8", lambda: bench_r50_int8(ctx), 150, True),
+        ("r50_int8_engine", lambda: bench_r50_int8_engine(ctx), 150, True),
+        ("r50_latency", lambda: bench_r50_latency(ctx), 120, True),
     ]
     if not quick:
         stages += [
             # graded configs 2-5 before the beyond-parity extras
-            ("r50_train", bench_r50_train, 300),
-            ("hrnet_w32_train", bench_hrnet_w32_train, 300),
-            ("hrnet_w48_eval", bench_hrnet_w48_eval, 540),
-            ("video", bench_video, 540),
-            ("simcc_infer", bench_simcc_infer, 180),
-            ("vitpose_s_256_infer", bench_vitpose_infer, 180),
-            ("bottom_up_w32_512_infer", bench_bottom_up_infer, 300),
-            ("vit_s_640_infer", bench_vit_infer, 240),
+            ("r50_train", bench_r50_train, 240, True),
+            ("hrnet_w32_train", bench_hrnet_w32_train, 240, True),
+            ("hrnet_w48_eval", bench_hrnet_w48_eval, 420, True),
+            ("video", bench_video, 420, True),
+            ("simcc_infer", bench_simcc_infer, 150, False),
+            ("vitpose_s_256_infer", bench_vitpose_infer, 150, False),
+            ("bottom_up_w32_512_infer", bench_bottom_up_infer, 240, False),
+            ("vit_s_640_infer", bench_vit_infer, 200, False),
         ]
 
-    for name, fn, est in stages:
+    for name, fn, est, graded in stages:
         elapsed = time.perf_counter() - _T0
-        if elapsed + est > budget:
-            extra[name] = {"skipped": "budget"}
+        remaining = budget - elapsed
+        skip = remaining < 60 if graded else est > remaining
+        is_r50_stage = name.startswith("r50_") and name != "r50_train"
+        if skip:
+            # one stable location per stage (ADVICE.md r3: the skip
+            # marker for r50 sub-stages merges into r50_infer too)
+            marker = {f"{name}_skipped": "budget"}
+            if is_r50_stage:
+                extra["r50_infer"].update(marker)
+            else:
+                extra[name] = {"skipped": "budget"}
             continue
         try:
-            res = _run_capped(fn, min(2 * est, budget - elapsed))
+            res = _run_capped(fn, min(2 * est, remaining))
         except Exception as e:  # record, never lose the headline line
             res = {"error": f"{type(e).__name__}: {e}"}
-        if name.startswith("r50_") and name != "r50_train":
+        if is_r50_stage:
             extra["r50_infer"].update(res)
+            better(res, "pallas_stem_img_per_s", "bf16+pallas-stem")
             better(res, "int8_img_per_s", "int8-ptq")
             better(res, "int8_engine_img_per_s", "int8-engine")
+            better(res, "int8_pallas_stem_img_per_s", "int8+pallas-stem")
         else:
             extra[name] = res
         emit()

@@ -187,6 +187,15 @@ def average_checkpoints(directory: str, state, steps=None, last: int = 0):
             f32 = lambda t: jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x, jnp.float32), t)
             p, b = f32(st.params), f32(st.batch_stats)
+            if has_ema and getattr(st, "ema_params", None) is None:
+                # a range spanning a pre-EMA checkpoint would otherwise
+                # die inside tree_map with an opaque structure mismatch
+                # (ADVICE.md r3); name the offending step instead
+                raise ValueError(
+                    f"checkpoint step {s} has no ema_params but the "
+                    f"template state does; restrict --steps to the "
+                    f"EMA-era checkpoints or average raw params by "
+                    f"passing a state without ema_params")
             e = f32(st.ema_params) if has_ema else None
             if acc_p is None:
                 acc_p, acc_b, acc_e = p, b, e

@@ -93,6 +93,7 @@ class MicroBatcher:
         # stats (guarded by _stats_lock)
         self._stats_lock = threading.Lock()
         self.n_requests = 0
+        self.n_errors = 0
         self.n_batches = 0
         self.batch_hist = {}
         self._lat_s = deque(maxlen=2048)
@@ -119,12 +120,19 @@ class MicroBatcher:
                 raise TimeoutError("prediction timed out")
             if r.error is not None:
                 raise r.error
-        finally:
-            # every completed request counts, success or not — otherwise
-            # /stats under-reports load exactly when things go wrong
+        except BaseException:
+            # failed/timed-out requests count toward load but NOT toward
+            # the latency percentiles: a timeout contributes ~the whole
+            # timeout value and the request may still complete later, so
+            # folding it into _lat_s inflates p50/p95 exactly when
+            # things go wrong (ADVICE.md r3)
             with self._stats_lock:
                 self.n_requests += 1
-                self._lat_s.append(time.perf_counter() - r.t0)
+                self.n_errors += 1
+            raise
+        with self._stats_lock:
+            self.n_requests += 1
+            self._lat_s.append(time.perf_counter() - r.t0)
         return r.coords, r.scores
 
     def close(self):
@@ -204,6 +212,7 @@ class MicroBatcher:
             lat = sorted(self._lat_s)
             return {
                 "requests": self.n_requests,
+                "errors": self.n_errors,
                 "batches": self.n_batches,
                 "batch_hist": dict(sorted(self.batch_hist.items())),
                 "latency_ms": {

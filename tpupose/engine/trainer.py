@@ -762,6 +762,11 @@ class Trainer:
                 from tpupose.metrics.pckh import PCKh
                 if K > 9:   # needs the MPII head joints (9=top, 8=neck)
                     metrics.append(PCKh())
+                else:
+                    from tpupose.utils.logging import printW
+                    printW(f"eval metric 'pckh' requested but the model "
+                           f"has only {K} keypoints (PCKh needs the MPII "
+                           f"head joints 8/9) — skipping it")
             elif name == "mpjpe":
                 from tpupose.metrics.mpjpe import MPJPE
                 metrics.append(MPJPE())
