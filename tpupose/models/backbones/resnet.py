@@ -89,6 +89,19 @@ def resnet_spec(name: str):
     return _SPECS[name]
 
 
+class StemPool(nn.Module):
+    """The stem 3x3/2 max-pool as a PARAM-LESS module (identical math to
+    the inline `nn.max_pool` it replaces; no parameter-tree change) so
+    the fused-stem serving interceptor (ops/pallas_stem.py) can swap it
+    out: when the Pallas stem kernel computes conv+BN+relu+pool in one
+    pass, this module is intercepted to identity."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.max_pool(x, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+
+
 class ResNet(nn.Module):
     """ResNet feature extractor. __call__ returns the C5 map; use
     `features=True` behavior via return_stages for multi-scale necks."""
@@ -112,7 +125,7 @@ class ResNet(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = StemPool(name="stem_pool")(x)
         feats = []
         for i, (size, filters) in enumerate(zip(self.stage_sizes, (64, 128, 256, 512))):
             for j in range(size):

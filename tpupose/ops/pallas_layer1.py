@@ -125,20 +125,35 @@ def _conv1x1(h, w, b):
 
 
 def _conv3x3(h3, w2, b2, im_ref, dtype):
-    """3x3 SAME conv on h3 (G, H, W, C) via a VMEM im2col scratch: nine
-    shifted sub-slice STORES into im_ref (G*HW, 9C) then ONE full-depth
-    matmul. (A jnp.concatenate of the nine lane-offset slices is not
-    implemented by Mosaic — 'result/input offset mismatch on non-concat
-    dimension' — so the buffer is assembled through the scratch ref.)"""
+    """3x3 SAME conv on h3 (G, H, W, C) via a VMEM im2col scratch.
+
+    Two shapes, selected by the scratch width: 9C -> nine shifted
+    sub-slice STORES then ONE 576-deep matmul (fastest when VMEM
+    allows); 3C -> per-dy assembly with three matmuls accumulated in
+    f32 (smaller stack, lets bigger per-step image groups compile).
+    (A jnp.concatenate of the lane-offset slices is not implemented by
+    Mosaic — 'result/input offset mismatch on non-concat dimension' —
+    so the buffer is always assembled through the scratch ref.)"""
     G, H, W, C = h3.shape
     hp = jnp.pad(h3, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    for k, (dy, dx) in enumerate((dy, dx) for dy in range(3)
-                                 for dx in range(3)):
-        im_ref[:, k * C:(k + 1) * C] = (
-            hp[:, dy:dy + H, dx:dx + W, :].reshape(G * H * W, C)
-            .astype(dtype))
-    y = jnp.dot(im_ref[...], w2, preferred_element_type=jnp.float32)
-    return y + b2
+    if im_ref.shape[-1] >= 9 * C:
+        for k, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                     for dx in range(3)):
+            im_ref[:, k * C:(k + 1) * C] = (
+                hp[:, dy:dy + H, dx:dx + W, :].reshape(G * H * W, C)
+                .astype(dtype))
+        y = jnp.dot(im_ref[...], w2, preferred_element_type=jnp.float32)
+        return y + b2
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            im_ref[:, dx * C:(dx + 1) * C] = (
+                hp[:, dy:dy + H, dx:dx + W, :].reshape(G * H * W, C)
+                .astype(dtype))
+        part = jnp.dot(im_ref[:, :3 * C], w2[dy * 3 * C:(dy + 1) * 3 * C],
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc + b2
 
 
 def _block(x2d, G, H, W, w1, b1, w2, b2, w3, b3, identity, im_ref, dtype):
@@ -152,29 +167,36 @@ def _block(x2d, G, H, W, w1, b1, w2, b2, w3, b3, identity, im_ref, dtype):
     return jax.nn.relu(h + identity.astype(jnp.float32)).astype(dtype)
 
 
-def _layer1_kernel(x_ref, *refs, G, H, W, dtype):
+def _layer1_kernel(x_ref, *refs, S, H, W, dtype):
+    """S images per grid step, processed SEQUENTIALLY with one-image
+    VMEM (the round-3 form batched images into the matmul M-dim instead,
+    which the round-4 toolchain's Mosaic no longer compiles — a silent
+    compile-helper crash at group>=2 — and one-image shapes keep the
+    stack small while the seq loop still amortizes per-step overhead)."""
     im_ref = refs[-1]                                     # VMEM scratch
     out_ref = refs[-2]
     (wds, bds, w1_0, b1_0, w2_0, b2_0, w3_0, b3_0,
      w1_1, b1_1, w2_1, b2_1, w3_1, b3_1,
      w1_2, b1_2, w2_2, b2_2, w3_2, b3_2) = [r[...] for r in refs[:-2]]
-    x = x_ref[...].reshape(G * H * W, -1)                 # (G*HW, 64)
-    idn = _conv1x1(x, wds, bds).astype(dtype)             # (G*HW, 256)
-    y = _block(x, G, H, W, w1_0, b1_0, w2_0, b2_0, w3_0, b3_0, idn,
-               im_ref, dtype)
-    y = _block(y, G, H, W, w1_1, b1_1, w2_1, b2_1, w3_1, b3_1, y,
-               im_ref, dtype)
-    y = _block(y, G, H, W, w1_2, b1_2, w2_2, b2_2, w3_2, b3_2, y,
-               im_ref, dtype)
-    out_ref[...] = y.reshape(G, H, W, -1)
+    for s in range(S):
+        x = x_ref[s:s + 1].reshape(H * W, -1)             # (HW, 64)
+        idn = _conv1x1(x, wds, bds).astype(dtype)         # (HW, 256)
+        y = _block(x, 1, H, W, w1_0, b1_0, w2_0, b2_0, w3_0, b3_0, idn,
+                   im_ref, dtype)
+        y = _block(y, 1, H, W, w1_1, b1_1, w2_1, b2_1, w3_1, b3_1, y,
+                   im_ref, dtype)
+        y = _block(y, 1, H, W, w1_2, b1_2, w2_2, b2_2, w3_2, b3_2, y,
+                   im_ref, dtype)
+        out_ref[s:s + 1] = y.reshape(1, H, W, -1)
 
 
 def layer1_pallas(x, weights: Dict[str, jnp.ndarray],
-                  interpret: bool | None = None, group: int = 2):
+                  interpret: bool | None = None, group: int = 2,
+                  narrow_im: bool = False):
     """x (B, H, W, 64) bf16 -> (B, H, W, 256) bf16. `group` images per
-    grid step (bigger DMAs + a taller matmul M-dim); the whole layer
-    stays in VMEM. interpret=None auto-selects the Pallas interpreter
-    off-TPU (CPU tests)."""
+    grid step, processed sequentially with one-image VMEM (bigger in/out
+    DMAs, amortized step overhead). interpret=None auto-selects the
+    Pallas interpreter off-TPU (CPU tests)."""
     B, H, W, C = x.shape
     dtype = x.dtype
     if interpret is None:
@@ -185,26 +207,27 @@ def layer1_pallas(x, weights: Dict[str, jnp.ndarray],
         # dim would instead force an untiled-layout relayout (~5.6 ms)
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - C)))
         C = 128
-    G = group
-    while B % G:
-        G //= 2
-    G = max(G, 1)
+    S = group
+    while B % S:
+        S //= 2
+    S = max(S, 1)
     args = [weights[k] for k in _ARG_ORDER]
-    kernel = partial(_layer1_kernel, G=G, H=H, W=W, dtype=dtype)
+    kernel = partial(_layer1_kernel, S=S, H=H, W=W, dtype=dtype)
     return pl.pallas_call(
         kernel,
-        grid=(B // G,),
-        in_specs=[pl.BlockSpec((G, H, W, C), lambda i: (i, 0, 0, 0),
+        grid=(B // S,),
+        in_specs=[pl.BlockSpec((S, H, W, C), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                         memory_space=pltpu.VMEM) for a in args],
-        out_specs=pl.BlockSpec((G, H, W, 256), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((S, H, W, 256), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, 256), dtype),
-        # im2col width = the 3x3 convs' input channels (64), NOT the
-        # lane-padded kernel input width
+        # im2col width: 9C (one deep matmul) or 3C (narrow_im: per-dy
+        # accumulation, smaller VMEM stack) — see _conv3x3
         scratch_shapes=[pltpu.VMEM(
-            (G * H * W, weights["b0_w2"].shape[0]), dtype)],
+            (H * W, weights["b0_w2"].shape[0] // (3 if narrow_im else 1)),
+            dtype)],
         interpret=interpret,
     )(x, *args)
 
@@ -242,7 +265,7 @@ def layer1_reference(x, weights):
 
 
 def make_layer1_interceptor(variables, n_blocks: int = 3,
-                            dtype=jnp.bfloat16):
+                            dtype=jnp.bfloat16, group: int = 2):
     """Flax interceptor replacing the backbone's first-stage Bottleneck
     calls with the fused Pallas kernel: Bottleneck_0 computes the whole
     layer, Bottleneck_1..n-1 pass through. Compose with the int8 PTQ
@@ -256,7 +279,7 @@ def make_layer1_interceptor(variables, n_blocks: int = 3,
                 and type(mod).__name__ == "Bottleneck"):
             name = mod.name or ""
             if name == "Bottleneck_0":
-                return layer1_pallas(args[0].astype(dtype), w)
+                return layer1_pallas(args[0].astype(dtype), w, group=group)
             if name in passthrough:
                 return args[0]
         return next_fun(*args, **kwargs)
