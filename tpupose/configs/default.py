@@ -55,6 +55,11 @@ class DataConfig:
     image_size: tuple = (256, 192)      # (H, W); yolo-pose uses (640, 640)
     max_instances: int = 32             # static padding of ragged per-image targets
     num_workers: int = 4
+    # native host-IO (data/native_io.py): decode threads (0 = one per
+    # host core) and the decode-once/warp-per-epoch source cache budget
+    # in MB (0 = off; decode dominates the feed on few-core hosts)
+    decode_threads: int = 0
+    decode_cache_mb: int = 0
     # top-down augmentation (reference scope per BASELINE.json north star)
     scale_factor: float = 0.25
     rotation_factor: float = 30.0

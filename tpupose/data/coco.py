@@ -65,7 +65,8 @@ class CocoTopDownDataset:
                  augment_geometry: bool = True,
                  half_body_prob: float = 0.0,
                  half_body_min_joints: int = 8,
-                 udp: bool = False):
+                 udp: bool = False,
+                 decode_cache_mb: int = 0):
         # augment_geometry=False: host applies only the flip — rotation/
         # scale jitter runs on device inside the train step
         # (cfg.data.device_affine, ops/affine.random_affine_augment).
@@ -95,7 +96,17 @@ class CocoTopDownDataset:
         self.rotation_factor = rotation_factor
         self.flip_prob = flip_prob
         self.padding = padding
-        self.decode_threads = decode_threads
+        self.decode_threads = decode_threads or max(1, os.cpu_count() or 1)
+        # decode-once / warp-per-epoch cache: JPEG decode dominates the
+        # host pipeline on few-core hosts (BENCH_r03: 187 img/s feed vs
+        # 2,226 img/s device), but only the WARP depends on the per-epoch
+        # augmentation draw — the DCT-prescaled source pixels don't.
+        # Bounded LRU over decoded sources, in MB (0 = off).
+        self.decode_cache_mb = int(decode_cache_mb)
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._cache_bytes = 0
         # augmentation rng is derived per (seed, sample, visit) so draws
         # are identical no matter which loader worker thread lands on the
         # sample first (each index is visited once per epoch)
@@ -104,6 +115,7 @@ class CocoTopDownDataset:
         import threading
 
         self._rng_lock = threading.Lock()  # guards the visit counter
+        self._cache_lock = threading.Lock()  # guards the decode cache
 
         with open(ann_file) as f:
             coco = json.load(f)
@@ -145,6 +157,8 @@ class CocoTopDownDataset:
             half_body_prob=getattr(d, "half_body_prob", 0.0),
             half_body_min_joints=getattr(d, "half_body_min_joints", 8),
             udp=getattr(d, "udp", False),
+            decode_threads=getattr(d, "decode_threads", 0),
+            decode_cache_mb=getattr(d, "decode_cache_mb", 0),
         )
 
     def __len__(self):
@@ -311,6 +325,83 @@ class CocoTopDownDataset:
         out["image"] = self._pil_crop(s, center, scale, rot, flipped)
         return out
 
+    def _cached_decode_warp(self, params, paths, mats, H, W):
+        """Decode-once / warp-per-epoch batch path: misses run the
+        threaded DCT-prescaled decode and enter a bounded LRU; every item
+        is then warped (threaded) from the cached source with this
+        epoch's augmentation matrix. A cached source is reused only if
+        its decode resolution covers the current crop's need (a bigger
+        zoom-in than ever seen re-decodes and replaces the entry).
+        Returns (images, ok) with decode_warp_batch's contract, or None
+        when the native library is unavailable."""
+        from tpupose.data import native_io
+
+        if native_io.get_lib() is None:
+            return None
+        n = len(paths)
+        # same shrink the fused C path derives: source pixels per crop
+        # pixel, per-axis column norms of the dst->src matrix
+        sx = np.hypot(mats[:, 0, 0], mats[:, 1, 0])
+        sy = np.hypot(mats[:, 0, 1], mats[:, 1, 1])
+        shrinks = np.maximum(np.minimum(sx, sy), 1.0)
+
+        sources: list = [None] * n
+        miss = []
+        with self._cache_lock:
+            for i, p in enumerate(paths):
+                ent = self._cache.get(p)
+                if ent is not None:
+                    img, fw, fh, num = ent
+                    need = native_io._prescale_dims(fw, fh,
+                                                    float(shrinks[i]))[2]
+                    if num >= need:
+                        self._cache.move_to_end(p)
+                        sources[i] = (img, fw, fh)
+                        continue
+                miss.append(i)
+        if miss:
+            caps = [(params[i][0]["width"], params[i][0]["height"])
+                    for i in miss]
+            dec = native_io.decode_prescaled_batch(
+                [paths[i] for i in miss], [float(shrinks[i]) for i in miss],
+                caps, num_threads=self.decode_threads)
+            if dec is None:
+                return None
+            with self._cache_lock:
+                for i, d in zip(miss, dec):
+                    if d is None:
+                        continue
+                    img, fw, fh = d
+                    num = native_io._prescale_dims(
+                        fw, fh, float(shrinks[i]))[2]
+                    old = self._cache.pop(paths[i], None)
+                    if old is not None:
+                        self._cache_bytes -= old[0].nbytes
+                    self._cache[paths[i]] = (img, fw, fh, num)
+                    self._cache_bytes += img.nbytes
+                    sources[i] = (img, fw, fh)
+                budget = self.decode_cache_mb * (1 << 20)
+                while self._cache_bytes > budget and len(self._cache) > 1:
+                    _, old = self._cache.popitem(last=False)
+                    self._cache_bytes -= old[0].nbytes
+
+        ok = np.asarray([s is not None for s in sources])
+        live = [i for i in range(n) if ok[i]]
+        imgs = np.zeros((n, H, W, 3), np.uint8)
+        if live:
+            warped = native_io.warp_batch(
+                [sources[i] for i in live], mats[live], H, W,
+                num_threads=self.decode_threads)
+            if warped is None:
+                return None
+            imgs[live] = warped
+        if not ok.all():
+            from tpupose.utils.logging import printW
+
+            printW(f"native decode (cached): {int((~ok).sum())}/{n} "
+                   f"failures (zero-filled, labels invalidated)")
+        return imgs, ok
+
     def get_batch(self, indices) -> list:
         """Batched fast path: fused JPEG decode + affine crop on the native
         C++ thread pool (one warp per sample, DCT-prescaled decode).
@@ -326,8 +417,13 @@ class CocoTopDownDataset:
                 self._flip_folded_matrix(s, c, sc, r, fl)
                 for (s, c, sc, r, fl, _, _) in params])
             H, W = self.image_size
-            res = decode_warp_batch(paths, mats, H, W,
-                                    num_threads=self.decode_threads)
+            # getattr: subclasses with bespoke __init__ (DetectionCrop-
+            # Dataset) predate the cache fields and default to off
+            if getattr(self, "decode_cache_mb", 0) > 0:
+                res = self._cached_decode_warp(params, paths, mats, H, W)
+            else:
+                res = decode_warp_batch(paths, mats, H, W,
+                                        num_threads=self.decode_threads)
             if res is not None:
                 imgs, ok = res
                 out = []

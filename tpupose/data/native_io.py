@@ -54,6 +54,7 @@ def get_lib():
         # change lacks the marker and is rebuilt instead of crashing
         needed = ("tp_decode_jpeg_resize", "tp_decode_jpeg_batch",
                   "tp_parse_yolo_label", "tp_decode_warp_batch",
+                  "tp_decode_prescaled_batch", "tp_warp_batch",
                   "tp_io_version")
         if not all(hasattr(lib, s) for s in needed):
             printW("native io library is stale (missing symbols); rebuilding")
@@ -90,6 +91,18 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8)]
         lib.tp_decode_warp_batch.restype = ctypes.c_int
+        _u8p = ctypes.POINTER(ctypes.c_uint8)
+        _i32p = ctypes.POINTER(ctypes.c_int)
+        lib.tp_decode_prescaled_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.POINTER(_u8p), ctypes.POINTER(ctypes.c_long),
+            _i32p, _i32p, _i32p, _i32p, ctypes.c_int, _u8p]
+        lib.tp_decode_prescaled_batch.restype = ctypes.c_int
+        lib.tp_warp_batch.argtypes = [
+            ctypes.POINTER(_u8p), _i32p, _i32p, _i32p, _i32p,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, _u8p, ctypes.c_int]
+        lib.tp_warp_batch.restype = ctypes.c_int
         _lib = lib
         printT("native io runtime loaded")
         return _lib
@@ -155,6 +168,94 @@ def parse_yolo_label(path: str, cols: int, max_rows: int = 256):
                 return None
             rows.append([float(v) for v in vals])
     return np.asarray(rows, np.float32).reshape(-1, cols)
+
+
+def _prescale_dims(full_w: int, full_h: int, shrink: float):
+    """Predict libjpeg's DCT-prescaled output dims for a given shrink —
+    mirrors decode_jpeg's scale_num selection (io.cc): the largest num
+    with 8/(num-1) > shrink, output dim = ceil(dim*num/8)."""
+    num = 8
+    while num > 1 and 8.0 / (num - 1) <= max(shrink, 1.0):
+        num -= 1
+    return (full_w * num + 7) // 8, (full_h * num + 7) // 8, num
+
+
+def decode_prescaled_batch(paths, shrinks, caps_hw, num_threads: int = 8):
+    """Threaded DCT-prescaled decode into fresh per-item buffers (the
+    decode-once half of the epoch cache).
+
+    paths: N jpeg paths; shrinks: N source-pixels-per-crop-pixel factors;
+    caps_hw: N (full_w, full_h) hints (from the annotation file) used to
+    size the buffers via _prescale_dims. Returns a list of N entries
+    (img (h, w, 3) uint8 trimmed to the real decoded dims, full_w,
+    full_h) with None for failed slots, or None when the native library
+    is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    bufs, caps = [], np.empty(n, np.int64)
+    for i, (fw, fh) in enumerate(caps_hw):
+        pw, ph, _ = _prescale_dims(int(fw), int(fh), float(shrinks[i]))
+        # slack for annotation dims being off by a little
+        bufs.append(np.empty(((ph + 8) * (pw + 8) * 3,), np.uint8))
+        caps[i] = bufs[i].size
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    outs = (u8p * n)(*[b.ctypes.data_as(u8p) for b in bufs])
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    sh = np.ascontiguousarray(np.asarray(shrinks, np.float32))
+    ws = np.zeros(n, np.int32)
+    hs = np.zeros(n, np.int32)
+    fws = np.zeros(n, np.int32)
+    fhs = np.zeros(n, np.int32)
+    ok = np.ones(n, np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    lib.tp_decode_prescaled_batch(
+        arr, sh.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, outs,
+        caps.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        ws.ctypes.data_as(i32p), hs.ctypes.data_as(i32p),
+        fws.ctypes.data_as(i32p), fhs.ctypes.data_as(i32p),
+        num_threads, ok.ctypes.data_as(u8p))
+    res = []
+    for i in range(n):
+        if not ok[i]:
+            res.append(None)
+            continue
+        w, h = int(ws[i]), int(hs[i])
+        # copy: trims the allocation slack so a cache's byte accounting
+        # is honest, and frees the oversized backing buffer
+        img = bufs[i][:h * w * 3].reshape(h, w, 3).copy()
+        res.append((img, int(fws[i]), int(fhs[i])))
+    return res
+
+
+def warp_batch(sources, matrices, out_h: int, out_w: int,
+               num_threads: int = 8):
+    """Threaded affine crop from already-decoded (prescaled) sources (the
+    warp-per-epoch half of the cache). sources: N (img (h, w, 3) uint8
+    C-contiguous, full_w, full_h); matrices: (N, 2, 3) dst->src in
+    full-res coords. Returns (N, out_h, out_w, 3) uint8, or None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(sources)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    srcs = (u8p * n)(*[s[0].ctypes.data_as(u8p) for s in sources])
+    ws = np.asarray([s[0].shape[1] for s in sources], np.int32)
+    hs = np.asarray([s[0].shape[0] for s in sources], np.int32)
+    fws = np.asarray([s[1] for s in sources], np.int32)
+    fhs = np.asarray([s[2] for s in sources], np.int32)
+    mats = np.ascontiguousarray(
+        np.asarray(matrices, np.float32).reshape(n, 6))
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    lib.tp_warp_batch(
+        srcs, ws.ctypes.data_as(i32p), hs.ctypes.data_as(i32p),
+        fws.ctypes.data_as(i32p), fhs.ctypes.data_as(i32p),
+        mats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        out_h, out_w, out.ctypes.data_as(u8p), num_threads)
+    return out
 
 
 def decode_warp_batch(paths, matrices, out_h: int, out_w: int,

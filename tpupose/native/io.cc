@@ -156,7 +156,7 @@ extern "C" {
 
 // ABI version marker: native_io.py requires this symbol so a stale .so
 // built before a signature change triggers a rebuild instead of a crash.
-int tp_io_version() { return 2; }
+int tp_io_version() { return 3; }
 
 // Fused decode + affine crop: for each item, decode paths[i] (DCT-
 // prescaled to the crop's scale) and warp with the 2x3 dst->src matrix
@@ -290,6 +290,83 @@ int tp_decode_jpeg_batch(const char** paths, int n, int out_h, int out_w,
   for (int i = 0; i < t; ++i) pool.emplace_back(work);
   for (auto& th : pool) th.join();
   return failures.load();
+}
+
+// Batched threaded DCT-prescaled decode into caller-owned buffers — the
+// decode half of the decode-once/warp-per-epoch cache (augmentation
+// changes the warp every epoch, but the prescaled SOURCE pixels don't
+// change; on few-core hosts the decode dominates the input pipeline,
+// measured 187 img/s feed vs 2,226 img/s device in BENCH_r03). outs[i]
+// gets the RGB rows of paths[i] decoded at >= 1/shrinks[i] resolution
+// (caps[i] bytes available); ws/hs get the decoded dims, fws/fhs the
+// full-resolution dims (the warp needs them to rescale its matrix).
+// ok[i]=0 and +1 failure when the decode fails or the buffer is small.
+int tp_decode_prescaled_batch(const char** paths, const float* shrinks,
+                              int n, uint8_t** outs, const long* caps,
+                              int* ws, int* hs, int* fws, int* fhs,
+                              int n_threads, uint8_t* ok) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), failures(0);
+  auto work = [&]() {
+    std::vector<uint8_t> buf;
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      ok[i] = 1;
+      int w = 0, h = 0, fw = 0, fh = 0;
+      const float shrink = shrinks[i] > 1.0f ? shrinks[i] : 1.0f;
+      if (decode_jpeg(paths[i], shrink, &buf, &w, &h, &fw, &fh) ||
+          static_cast<long>(buf.size()) > caps[i]) {
+        failures.fetch_add(1);
+        ok[i] = 0;
+        ws[i] = hs[i] = fws[i] = fhs[i] = 0;
+        continue;
+      }
+      std::memcpy(outs[i], buf.data(), buf.size());
+      ws[i] = w; hs[i] = h; fws[i] = fw; fhs[i] = fh;
+    }
+  };
+  std::vector<std::thread> pool;
+  const int t = n_threads < n ? n_threads : n;
+  pool.reserve(t);
+  for (int i = 0; i < t; ++i) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
+// Batched threaded affine warp from already-decoded (possibly DCT-
+// prescaled) buffers: srcs[i] is (hs[i], ws[i], 3) RGB decoded from a
+// (fws[i], fhs[i]) source; mats[i*6..] is the 2x3 dst->src matrix in
+// FULL-RESOLUTION coords (same contract as tp_decode_warp_batch, same
+// half-pixel-center rescale). The warp-per-epoch half of the cache.
+int tp_warp_batch(const uint8_t** srcs, const int* ws, const int* hs,
+                  const int* fws, const int* fhs, const float* mats,
+                  int n, int out_h, int out_w, uint8_t* out,
+                  int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  const size_t stride = static_cast<size_t>(out_h) * out_w * 3;
+  auto work = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const float* m = mats + static_cast<size_t>(i) * 6;
+      const float rx = static_cast<float>(ws[i]) / fws[i];
+      const float ry = static_cast<float>(hs[i]) / fhs[i];
+      const float madj[6] = {m[0] * rx, m[1] * rx,
+                             (m[2] + 0.5f) * rx - 0.5f,
+                             m[3] * ry, m[4] * ry,
+                             (m[5] + 0.5f) * ry - 0.5f};
+      warp_affine(srcs[i], hs[i], ws[i], madj, out + stride * i,
+                  out_h, out_w);
+    }
+  };
+  std::vector<std::thread> pool;
+  const int t = n_threads < n ? n_threads : n;
+  pool.reserve(t);
+  for (int i = 0; i < t; ++i) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+  return 0;
 }
 
 // Parse a YOLO-pose label txt: rows of `cols` floats. Returns row count,
