@@ -1,0 +1,102 @@
+"""Metric-level int8 parity (VERDICT.md r3 task 7): the int8 serving
+paths must be accuracy-neutral at the EVALUATOR level, not just
+"decoded coords within 1 px on synthetic crops" (tests/test_quant.py).
+
+Recipe: overfit a SimpleBaseline-R18 on synthetic blobs until it truly
+localizes (the test_train_smoke.py recipe), then run the same DARK
+decode through (a) bf16, (b) int8 PTQ intercept (ops/quant.py),
+(c) the fused int8 engine (ops/int8_engine.py) and compare PCK@0.2 and
+raw coordinates. Converts the int8 throughput headline from "fast" to
+"fast and provably accuracy-neutral".
+"""
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def trained_r18():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpupose.data.synthetic import SyntheticTopDownDataset
+    from tpupose.engine.train_state import (create_train_state,
+                                            make_heatmap_train_step)
+    from tpupose.losses.heatmap import joints_mse_loss
+    from tpupose.models.simple_baseline import SimpleBaseline
+
+    ds = SyntheticTopDownDataset(8, (64, 64), (16, 16), 3, seed=0)
+    samples = [ds[i] for i in range(8)]
+    imgs = np.stack([s["image"] for s in samples])
+    joints = np.stack([s["joints"] for s in samples])
+    vis = np.stack([s["visibility"] for s in samples])
+
+    model = SimpleBaseline(backbone="resnet18", num_keypoints=3,
+                           deconv_channels=(64, 64, 64), dtype=jnp.float32)
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(3e-3))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), tx)
+    step = make_heatmap_train_step(joints_mse_loss, heatmap_size=(16, 16))
+    batch = {"images": jnp.asarray(imgs), "joints": jnp.asarray(joints),
+             "visibility": jnp.asarray(vis)}
+    for _ in range(300):
+        state, metrics = step(state, batch)
+    assert float(metrics["loss"]) < 1e-3
+    return model, state, imgs, joints, vis
+
+
+def _pck(coords, joints, vis, thresh_px=3.2):
+    """PCK on the 16x16 heatmap grid (0.2 * 16 px norm)."""
+    err = np.linalg.norm(np.asarray(coords) - joints, axis=-1)[vis > 0]
+    return (err < thresh_px).mean(), err.mean()
+
+
+def _decode(hm):
+    import jax.numpy as jnp
+
+    from tpupose.ops.decode import decode_heatmaps
+
+    coords, scores = decode_heatmaps(jnp.transpose(hm, (0, 3, 1, 2)),
+                                     method="dark")
+    return np.asarray(coords)
+
+
+def test_int8_paths_are_metric_neutral(trained_r18):
+    import jax.numpy as jnp
+
+    from tpupose.ops.int8_engine import Int8Engine
+    from tpupose.ops.preprocess import normalize_images
+    from tpupose.ops.quant import calibrate, quantized_apply
+
+    model, state, imgs, joints, vis = trained_r18
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    x = normalize_images(jnp.asarray(imgs), dtype=jnp.float32)
+
+    hm_bf16 = state.apply_fn(variables, x, train=False)
+    c_bf16 = _decode(hm_bf16)
+    pck_bf16, err_bf16 = _pck(c_bf16, joints, vis)
+    assert pck_bf16 > 0.9          # the model really localizes
+
+    # (b) int8 PTQ intercept
+    scales = calibrate(state.apply_fn, variables, [jnp.asarray(imgs)],
+                       preprocess=lambda im: normalize_images(
+                           im, dtype=jnp.float32), train=False)
+    hm_q = quantized_apply(state.apply_fn, variables, scales, x,
+                           train=False)
+    c_q = _decode(hm_q)
+    pck_q, err_q = _pck(c_q, joints, vis)
+
+    # (c) fused int8 engine (uint8 in, heatmaps out)
+    eng = Int8Engine.build(variables, backbone="resnet18", calib=[imgs])
+    hm_e = eng(jnp.asarray(imgs))
+    c_e = _decode(hm_e)
+    pck_e, err_e = _pck(c_e, joints, vis)
+
+    # metric deltas < 0.5 pt (VERDICT's bar), coords within 0.5 heatmap px
+    assert abs(pck_q - pck_bf16) < 0.005, (pck_bf16, pck_q)
+    assert abs(pck_e - pck_bf16) < 0.005, (pck_bf16, pck_e)
+    m = vis > 0
+    assert np.abs(c_q - c_bf16).max(axis=-1)[m].mean() < 0.5
+    assert np.abs(c_e - c_bf16).max(axis=-1)[m].mean() < 0.5
