@@ -26,7 +26,7 @@ incrementally to `BENCH_LOG.json` so a partial run still leaves citable
 evidence on disk.
 
 Round-4 hardening (VERDICT.md tasks 2-3 + ADVICE.md): the budget
-default is 1200 s (the observed driver window is ~1600 s; round 3's
+default is 1350 s (the observed driver window is ~1600 s; round 3's
 default 2700 survived only by luck); the five GRADED configs
 (BASELINE.json:6-12) are attempted before any beyond-parity extra and
 are skipped only when almost no time remains; the headline `metric`
@@ -87,7 +87,12 @@ def _steady_s(call, probe, n1: int = 4, n2: int = 16):
         t1 = run(n1)
         t2 = run(n2)
         slopes.append(max((t2 - t1) / (n2 - n1), 1e-9))
-    return float(np.median(slopes)), min(slopes)
+    med = float(np.median(slopes))
+    # a tunnel hiccup during the SHORT leg can make one slope
+    # impossibly fast (round-4 observed a "best" above the HBM
+    # roofline); only slopes within 40% of the median count as best
+    ok = [s for s in slopes if s >= 0.6 * med]
+    return med, min(ok) if ok else med
 
 
 def _latency_p50(call, probe, n=10):
@@ -657,11 +662,12 @@ def bench_video():
         t1, t2 = run(3), run(11)
         slopes.append(max((t2 - t1) / 8, 1e-9))
     dt = float(np.median(slopes))
+    ok = [s for s in slopes if s >= 0.6 * dt]
     # batch-1 streaming latency path for reference
     f1 = batch[:1]
     p50 = _latency_p50(lambda: pred(f1), lambda det: None, n=6)
     out = {"video_fps": round(VB / dt, 2),
-           "video_fps_best": round(VB / min(slopes), 2),
+           "video_fps_best": round(VB / min(ok), 2),
            "stream_p50_ms_b1": round(p50, 2)}
 
     # two-stage variant (the config's literal shape): detector boxes ->
@@ -713,8 +719,10 @@ def bench_video():
     for _ in range(3):
         t1, t2 = run2(3), run2(11)
         slopes2.append(max((t2 - t1) / 8, 1e-9))
-    out["two_stage_fps"] = round(VB / float(np.median(slopes2)), 2)
-    out["two_stage_fps_best"] = round(VB / min(slopes2), 2)
+    med2 = float(np.median(slopes2))
+    ok2 = [s for s in slopes2 if s >= 0.6 * med2]
+    out["two_stage_fps"] = round(VB / med2, 2)
+    out["two_stage_fps_best"] = round(VB / min(ok2), 2)
     return out
 
 
@@ -744,7 +752,7 @@ def _run_capped(fn, cap_s):
 def main():
     _enable_compile_cache()
     quick = "--quick" in sys.argv
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1350"))
     extra = {}
     headline = {"img_per_s": 0.0, "img_per_s_best": 0.0, "precision": "bf16",
                 "bf16_img_per_s": 0.0}
@@ -806,22 +814,28 @@ def main():
     # of their historical cost x2 and the remaining budget), then the
     # beyond-parity extras run strictly budget-gated on their estimate. --
     stages = [
-        # (name, fn, est_s, graded) — champion paths first; the Pallas
-        # composed path is measured after them as route evidence (it is
-        # net-negative on the current toolchain, BASELINE.md round 4,
-        # but re-measuring each run catches layout-policy shifts)
-        ("r50_int8", lambda: bench_r50_int8(ctx), 150, True),
-        ("r50_int8_engine", lambda: bench_r50_int8_engine(ctx), 150, True),
-        ("r50_latency", lambda: bench_r50_latency(ctx), 120, True),
-        ("r50_pallas_stem", lambda: bench_r50_pallas_stem(ctx), 180, False),
+        # (name, fn, est_s, graded) — the headline champion paths, then
+        # graded configs 2-5, then config-1 latency and the Pallas
+        # composed route evidence (net-negative on the current
+        # toolchain, BASELINE.md round 4, re-measured each run to catch
+        # layout-policy shifts), then beyond-parity extras
+        ("r50_int8", lambda: bench_r50_int8(ctx), 120, True),
+        ("r50_int8_engine", lambda: bench_r50_int8_engine(ctx), 200, True),
     ]
     if not quick:
         stages += [
-            # graded configs 2-5 before the beyond-parity extras
-            ("r50_train", bench_r50_train, 240, True),
-            ("hrnet_w32_train", bench_hrnet_w32_train, 240, True),
-            ("hrnet_w48_eval", bench_hrnet_w48_eval, 420, True),
-            ("video", bench_video, 420, True),
+            ("r50_train", bench_r50_train, 180, True),
+            ("hrnet_w32_train", bench_hrnet_w32_train, 180, True),
+            ("hrnet_w48_eval", bench_hrnet_w48_eval, 400, True),
+            ("video", bench_video, 400, True),
+        ]
+    stages += [
+        ("r50_latency", lambda: bench_r50_latency(ctx), 230, True),
+        ("r50_pallas_stem", lambda: bench_r50_pallas_stem(ctx), 230,
+         False),
+    ]
+    if not quick:
+        stages += [
             ("simcc_infer", bench_simcc_infer, 150, False),
             ("vitpose_s_256_infer", bench_vitpose_infer, 150, False),
             ("bottom_up_w32_512_infer", bench_bottom_up_infer, 240, False),
