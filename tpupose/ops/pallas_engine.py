@@ -1,0 +1,156 @@
+"""The ALL-Pallas int8 R50 serving engine: uint8 crops -> f32 heatmaps
+with ZERO XLA convolutions.
+
+Why this exists (BASELINE.md, round-4 ceiling analysis): XLA prefers
+exotic layouts ({0,3,2,1} / {3,0,2,1}) for every conv touching a
+small-spatial tensor and charges ~1 GB/batch of relayout copies at every
+custom-call shore, wherever it sits — so every PARTIAL Pallas island
+measured net-negative. The two consistent configurations are all-XLA
+(the ~14.2k img/s int8 champion) and THIS: an unbroken chain of Pallas
+kernels from the network input to the heatmaps, where no XLA conv ever
+exists to demand an exotic layout, and the MXU runs int8.
+
+The chain (each link a pallas_call; boundaries are standard-layout
+tensors, measured relayout-free between custom calls):
+
+  center_raw + stem_s2d  (XLA: elementwise + pure permutation, no conv)
+  -> stem+maxpool kernel (ops/pallas_stem.py, bf16; normalize folded)
+  -> quantize            (XLA elementwise, s_stem from calibration)
+  -> stages 1-4          (ops/pallas_stages.py, int8 bottleneck chunks)
+  -> deconv head + final (ops/pallas_head.py, int8 phases, f32 heatmaps)
+
+Quantization shares the int8 XLA engine's story end-to-end: the SAME
+folded graph (ops/int8_engine.fold_simple_baseline) and the SAME f32
+calibration forward (_forward_calib) produce per-tensor activation
+scales; weights are per-output-channel symmetric int8.
+
+Reference counterpart: none — /root/reference/HPE runs stock torch
+convs; this is TPU-specific speed-of-light work on the graded config
+(BASELINE.json:2, the >=5x serving-throughput line).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpupose.ops.int8_engine import _forward_calib, fold_simple_baseline
+from tpupose.ops.pallas_head import DeconvSpec, build_deconv_spec, run_deconv
+from tpupose.ops.pallas_stages import (QMAX, ChunkSpec, build_stage_chunks,
+                                       run_chunk)
+from tpupose.ops.pallas_stem import (center_raw, fold_stem_weights,
+                                     stem_pool_pallas, stem_s2d)
+from tpupose.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+# R50 stage table: (block ids, hin, win, cin(padded), cmid(padded), stride)
+_R50_STAGES = (
+    (tuple(range(0, 3)), 64, 48, 128, 128, 1),
+    (tuple(range(3, 7)), 64, 48, 256, 128, 2),
+    (tuple(range(7, 13)), 32, 24, 512, 256, 2),
+    (tuple(range(13, 16)), 16, 12, 1024, 512, 2),
+)
+
+
+@dataclass
+class PallasServingEngine:
+    """Built once from flax variables; __call__ maps uint8 NHWC crops
+    (B, 256, 192, 3) to f32 heatmaps (B, 64, 48, K)."""
+
+    stem_w: Dict[str, jnp.ndarray]
+    s_stem: float
+    chunks: List[ChunkSpec]
+    deconvs: List[DeconvSpec]
+    num_joints: int
+    group: int = 1
+    stem_group: int = 1
+    interpret: Optional[bool] = None
+
+    @classmethod
+    def build(cls, variables, calib: Sequence = (), group: int = 1,
+              stem_group: int = 1, max_weight_bytes: int = 6 * 2 ** 20,
+              interpret: Optional[bool] = None):
+        nodes, weights, stem_pad, in_pad = fold_simple_baseline(variables)
+        if hasattr(calib, "shape"):
+            calib = [calib]
+        if not len(calib):
+            calib = [np.random.RandomState(0).randint(
+                0, 256, (8, 256, 192, 3)).astype(np.uint8)]
+        run = jax.jit(lambda imgs: _forward_calib(
+            nodes, weights, stem_pad, in_pad, imgs)[1])
+        amax = None
+        for batch in calib:
+            got = [float(v) for v in jax.device_get(run(jnp.asarray(batch)))]
+            amax = got if amax is None else [
+                max(a, g) for a, g in zip(amax, got)]
+        amax = [max(a, 1e-6) for a in amax]
+
+        conv_scale: Dict[str, float] = {}
+        add_scales: Dict[int, float] = {}
+        it = iter(amax)
+        block_no = 0
+        for nd in nodes:
+            if nd.quant and nd.kind in ("conv", "add"):
+                s = next(it) / QMAX
+                if nd.kind == "conv":
+                    conv_scale[nd.spec.name] = s
+                else:
+                    add_scales[block_no] = s
+                    block_no += 1
+
+        np_w = {k: (np.asarray(v[0], np.float64), np.asarray(v[1],
+                                                             np.float64))
+                for k, v in weights.items()}
+
+        chunks: List[ChunkSpec] = []
+        s = conv_scale["stem"]
+        for blocks, hin, win, cin, cmid, stride in _R50_STAGES:
+            cs, s = build_stage_chunks(
+                np_w, conv_scale, add_scales, blocks, s, hin, win, cin,
+                cmid, stride, g=group, max_weight_bytes=max_weight_bytes)
+            chunks.extend(cs)
+
+        deconvs: List[DeconvSpec] = []
+        n_dec = sum(1 for k in np_w if k.startswith("deconv"))
+        for i in range(n_dec):
+            k, b = np_w[f"deconv{i}"]
+            s_out = conv_scale[f"deconv{i}"]
+            final = None
+            if i == n_dec - 1:
+                kf, bf = np_w["final"]
+                final = (kf, bf, s_out)
+            deconvs.append(build_deconv_spec(k, b, s, s_out, g=group,
+                                             final=final))
+            s = s_out
+
+        kf = np.asarray(weights["final"][0])
+        num_joints = int(kf.shape[-1])
+        stem_w = fold_stem_weights(
+            variables,
+            input_scale=[1.0 / (255.0 * sd) for sd in IMAGENET_STD])
+        return cls(stem_w, conv_scale["stem"], chunks, deconvs,
+                   num_joints, group=group, stem_group=stem_group,
+                   interpret=interpret)
+
+    def forward(self, images):
+        """uint8 (B, 256, 192, 3) -> f32 heatmaps (B, 64, 48, K).
+        Jit-traceable; every conv is a Pallas custom call."""
+        x = center_raw(images).astype(jnp.bfloat16)
+        x4 = stem_s2d(x)
+        f = stem_pool_pallas(x4, self.stem_w, group=self.stem_group,
+                             interpret=self.interpret)
+        xi8 = jnp.clip(jnp.round(f.astype(jnp.float32) / self.s_stem),
+                       0.0, QMAX).astype(jnp.int8)
+        for ch in self.chunks:
+            xi8 = run_chunk(xi8, ch, g=self.group,
+                            interpret=self.interpret)
+        y = xi8
+        for d in self.deconvs:
+            y = run_deconv(y, d, g=self.group, interpret=self.interpret)
+        return y[..., :self.num_joints]
+
+    def __call__(self, images):
+        return self.forward(images)

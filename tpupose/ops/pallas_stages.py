@@ -1,0 +1,471 @@
+"""Generic int8 Pallas bottleneck-stage kernels for the ALL-Pallas R50
+serving engine (ops/pallas_engine.py).
+
+Why (BASELINE.md round-4 conclusion): every PARTIAL Pallas island inside
+the conv graph loses — XLA prefers exotic layouts for every conv
+touching a small-spatial tensor and charges ~1 GB/batch of relayout
+copies at every custom-call shore, wherever it sits. The two consistent
+configurations are all-XLA (the measured ~14.2k img/s champion) and an
+ALL-Pallas chain (input -> heatmaps, zero XLA convs), which only wins if
+its matmuls run int8 on the MXU. The required Mosaic primitives are
+probe-verified on this toolchain (scripts/r4_probe_engine.py,
+2026-08-21): f32->int8 requant casts, chained int8xint8->int32 matmuls,
+leading-dim unit writes, and batched selector matmuls.
+
+This module provides the middle of that chain: ResNet stages 1-4 as
+int8 Pallas kernels, built from the SAME folded graph + calibration the
+int8 XLA engine uses (ops/int8_engine.fold_simple_baseline /
+_forward_calib), so both paths share one quantization story:
+
+  - weights: per-output-channel symmetric int8 (max|w|/127);
+  - activations: per-tensor scales s = amax/127 from the f32 calibration
+    forward; every scale is a Python float at build time, so scalar
+    arithmetic is CLOSED OVER by the kernel (no scalar operands);
+  - each conv runs x_i8 @ W_i8 -> int32 on the MXU, then one f32
+    epilogue acc * m + b with m, b (1, O) vectors pre-divided by the
+    consumer scale, relu, round/clip to [0, 127] int8 (post-relu
+    activations are one-sided);
+  - residual adds happen in f32 real-output units, then requant once.
+
+Stride-2 blocks use the phase machinery proven in ops/pallas_bridge.py:
+row parity is a free leading-dim split, column parity a batched 0/1
+selector matmul (Mosaic has no strided reads); the 3x3/2 conv becomes
+one (16*Cmid)-deep matmul over 4 block shifts x 4 phases. The selector
+runs in bf16 — int8 values are exact in bf16 (8 mantissa bits).
+
+A stage is emitted as one or more pallas_calls ("chunks"): blocks are
+packed greedily under a VMEM weight budget (layer4's ~16 MB of int8
+weights cannot live in one kernel), and chunk boundaries carry plain
+int8 NHWC tensors in standard layout — between custom calls XLA inserts
+no relayouts (measured, BASELINE.md).
+
+Reference counterpart: none — the torch stack (/root/reference/HPE)
+runs stock torchvision convs; this is TPU-specific speed-of-light work
+on the graded config (BASELINE.json:2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QMAX = 127.0
+
+# the 4 block shifts of the stride-2 im2col, in ops/pallas_bridge.py order
+_DOWN_SHIFTS = ((-1, -1), (-1, 0), (0, -1), (0, 0))
+
+
+def quantize_per_col(k: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8: k (K, O) f64 -> (Wq int8, sw (O,))."""
+    sw = np.abs(k).max(axis=0) / QMAX
+    sw = np.where(sw == 0.0, 1.0, sw)
+    wq = np.clip(np.round(k / sw), -QMAX, QMAX).astype(np.int8)
+    return wq, sw
+
+
+@dataclass
+class BlockMeta:
+    """Static (Python) description of one bottleneck inside a chunk."""
+
+    kind: str                  # "id" | "proj1" | "down"
+    cmid: int
+    cin: int
+    cout: int
+    r: float = 0.0             # id blocks: s_in / s_add residual multiplier
+    n_args: int = 9            # arrays consumed from the flat ref list
+
+
+@dataclass
+class ChunkSpec:
+    """One pallas_call: `metas` blocks over (hin, win, cin) -> out dims."""
+
+    metas: List[BlockMeta]
+    args: List[jnp.ndarray]
+    hin: int
+    win: int
+    cin: int
+    hout: int
+    wout: int
+    cout: int
+    has_down: bool
+    im_rows: int
+    im_width: int
+    hs_rows: int = 0
+    hs_width: int = 0
+
+
+def _pad_cols(k: np.ndarray, o_pad: int) -> np.ndarray:
+    if k.shape[1] < o_pad:
+        k = np.pad(k, ((0, 0), (0, o_pad - k.shape[1])))
+    return k
+
+
+def _vec(v: np.ndarray, o_pad: int) -> jnp.ndarray:
+    if v.shape[0] < o_pad:
+        v = np.pad(v, (0, o_pad - v.shape[0]))
+    return jnp.asarray(v.reshape(1, -1), jnp.float32)
+
+
+def _w2_im2col_s1(k: np.ndarray, cmid_pad: int) -> np.ndarray:
+    """(3, 3, C, O) -> (9*cmid_pad, O) rows [dy*3+dx][c] (zero pad rows)."""
+    _, _, c, o = k.shape
+    w = np.zeros((9 * cmid_pad, o), np.float64)
+    for dy in range(3):
+        for dx in range(3):
+            r = (dy * 3 + dx) * cmid_pad
+            w[r:r + c] = k[dy, dx]
+    return w
+
+
+def _w2_im2col_s2(k: np.ndarray, cmid: int) -> np.ndarray:
+    """(3, 3, C, O) -> (16*C, O) rows [shift bi][phase p*2+q][c], the
+    stride-2 phase layout of ops/pallas_bridge.py (7/16 zero rows)."""
+    o = k.shape[-1]
+    w = np.zeros((16 * cmid, o), np.float64)
+    for bi, (m, n) in enumerate(_DOWN_SHIFTS):
+        for p in range(2):
+            for q in range(2):
+                ky, kx = 2 * m + p + 1, 2 * n + q + 1
+                if 0 <= ky <= 2 and 0 <= kx <= 2:
+                    r = bi * 4 * cmid + (p * 2 + q) * cmid
+                    w[r:r + cmid] = k[ky, kx]
+    return w
+
+
+def make_col_selectors(rows: int, win: int, dtype=jnp.bfloat16):
+    """Batched even/odd column selectors sel[u, v', v] = 1 iff v = 2v'(+1),
+    the Mosaic-safe sublane-stride-2 gather (a batched 0/1 matmul)."""
+    wout = win // 2
+    sel = np.zeros((2, rows, wout, win), np.float64)
+    sel[0, :, np.arange(wout), 2 * np.arange(wout)] = 1.0
+    sel[1, :, np.arange(wout), 2 * np.arange(wout) + 1] = 1.0
+    return jnp.asarray(sel[0], dtype), jnp.asarray(sel[1], dtype)
+
+
+def build_stage_chunks(
+    weights: Dict[str, tuple],
+    conv_scale: Dict[str, float],
+    add_scales: Dict[int, float],
+    block_ids: Sequence[int],
+    s_in: float,
+    hin: int,
+    win: int,
+    cin: int,
+    cmid: int,
+    stride: int,
+    g: int = 1,
+    max_weight_bytes: int = 6 * 2 ** 20,
+    block_prefix: str = "Bottleneck",
+) -> Tuple[List[ChunkSpec], float]:
+    """Pack one ResNet stage (blocks `block_ids` from the int8_engine
+    folded-weights dict) into pallas_call chunks. Returns (chunks,
+    stage output scale). `s_in` is the input tensor's quant scale.
+
+    cin/cmid are PADDED widths (layer1 pads 64 -> 128: sub-128 lane dims
+    force untiled-layout relayouts at the custom-call boundary, measured
+    ~5.6 ms in ops/pallas_layer1.py)."""
+    k3_first = weights[f"{block_prefix}_{block_ids[0]}/c2"][0]
+    cout = int(k3_first.shape[-1])
+    chunks: List[ChunkSpec] = []
+    cur_metas: List[BlockMeta] = []
+    cur_args: List[jnp.ndarray] = []
+    cur_bytes = 0
+    cur_cin = cin
+    cur_hin, cur_win = hin, win
+    hout, wout = hin // stride, win // stride
+    s = s_in
+
+    def flush(has_down: bool):
+        nonlocal cur_metas, cur_args, cur_bytes, cur_cin, cur_hin, cur_win
+        if not cur_metas:
+            return
+        im_rows = g * hout * wout
+        im_width = max(
+            (16 if m.kind == "down" else 9) * m.cmid for m in cur_metas)
+        hs_rows = g * hout * wout if has_down else 0
+        hs_width = 4 * cmid if has_down else 0
+        chunks.append(ChunkSpec(
+            cur_metas, cur_args, cur_hin, cur_win, cur_cin,
+            hout, wout, cout, has_down, im_rows, im_width,
+            hs_rows, hs_width))
+        cur_metas, cur_args, cur_bytes = [], [], 0
+        cur_cin, cur_hin, cur_win = cout, hout, wout
+
+    for j, n in enumerate(block_ids):
+        base = f"{block_prefix}_{n}"
+        k1, b1 = weights[f"{base}/c0"]
+        k2, b2 = weights[f"{base}/c1"]
+        k3, b3 = weights[f"{base}/c2"]
+        k1 = np.asarray(k1, np.float64).reshape(k1.shape[-2], k1.shape[-1])
+        k2 = np.asarray(k2, np.float64)
+        k3 = np.asarray(k3, np.float64).reshape(k3.shape[-2], k3.shape[-1])
+        b1 = np.asarray(b1, np.float64)
+        b2 = np.asarray(b2, np.float64)
+        b3 = np.asarray(b3, np.float64)
+        has_proj = f"{base}/proj" in weights
+        s_c0 = conv_scale[f"{base}/c0"]
+        s_c1 = conv_scale[f"{base}/c1"]
+        s_add = add_scales[n]
+        is_down = j == 0 and stride == 2
+
+        cmid_real = k1.shape[1]
+        # pad input rows of c0/proj to the (padded) incoming width
+        in_w = cur_cin if not cur_metas else cout
+        if k1.shape[0] < in_w:
+            k1 = np.pad(k1, ((0, in_w - k1.shape[0]), (0, 0)))
+        # pad mid width (layer1: 64 -> 128)
+        k1p = _pad_cols(k1, cmid)
+        if is_down:
+            w2 = _w2_im2col_s2(k2, cmid_real)
+            if cmid_real < cmid:   # re-space rows to padded phase slots
+                w2f = np.zeros((16 * cmid, k2.shape[-1]), np.float64)
+                for blk in range(16):
+                    w2f[blk * cmid:blk * cmid + cmid_real] = (
+                        w2[blk * cmid_real:(blk + 1) * cmid_real])
+                w2 = w2f
+        else:
+            w2 = _w2_im2col_s1(k2, cmid)
+        w2p = _pad_cols(w2, cmid)
+        k3p = k3
+        if k3p.shape[0] < cmid:
+            k3p = np.pad(k3p, ((0, cmid - k3p.shape[0]), (0, 0)))
+        k3p = _pad_cols(k3p, cout)
+
+        w1q, sw1 = quantize_per_col(k1p)
+        w2q, sw2 = quantize_per_col(w2p)
+        w3q, sw3 = quantize_per_col(k3p)
+        m1 = _vec(s * sw1 / s_c0, cmid)
+        bv1 = _vec(np.pad(b1, (0, cmid - b1.shape[0])) / s_c0, cmid)
+        m2 = _vec(s_c0 * sw2 / s_c1, cmid)
+        bv2 = _vec(np.pad(b2, (0, cmid - b2.shape[0])) / s_c1, cmid)
+        m3 = _vec(s_c1 * sw3 / s_add, cout)
+        bv3 = _vec(np.pad(b3, (0, cout - b3.shape[0])) / s_add, cout)
+
+        args = [jnp.asarray(w1q), m1, bv1, jnp.asarray(w2q), m2, bv2,
+                jnp.asarray(w3q), m3, bv3]
+        if has_proj:
+            kp, bp = weights[f"{base}/proj"]
+            kp = np.asarray(kp, np.float64).reshape(kp.shape[-2],
+                                                    kp.shape[-1])
+            bp = np.asarray(bp, np.float64)
+            if kp.shape[0] < in_w:
+                kp = np.pad(kp, ((0, in_w - kp.shape[0]), (0, 0)))
+            kp = _pad_cols(kp, cout)
+            wpq, swp = quantize_per_col(kp)
+            mp = _vec(s * swp / s_add, cout)
+            bvp = _vec(np.pad(bp, (0, cout - bp.shape[0])) / s_add, cout)
+            args += [jnp.asarray(wpq), mp, bvp]
+            kind = "down" if is_down else "proj1"
+        else:
+            kind = "id"
+
+        nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in args)
+        if cur_metas and cur_bytes + nbytes > max_weight_bytes:
+            flush(any(m.kind == "down" for m in cur_metas))
+        cur_metas.append(BlockMeta(kind, cmid, in_w, cout,
+                                   r=s / s_add, n_args=len(args)))
+        cur_args.extend(args)
+        cur_bytes += nbytes
+        s = s_add
+
+    flush(any(m.kind == "down" for m in cur_metas))
+    # attach stage-level selectors to every chunk containing a down block
+    for ch in chunks:
+        if ch.has_down:
+            s0, s1 = make_col_selectors(g * ch.hout, ch.win)
+            ch.args = list(ch.args) + [s0, s1]
+    return chunks, s
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _requant_relu(acc_f32, lo=0.0):
+    return jnp.clip(jnp.round(jnp.maximum(acc_f32, lo)), 0.0, QMAX
+                    ).astype(jnp.int8)
+
+
+def _i8dot(a, w):
+    return jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+
+def _col_select_i8(sel, rows_i8):
+    """Batched even/odd-column gather of int8 data via a bf16 selector
+    matmul — exact (int8 values are integers < 2^8, bf16-representable)."""
+    r = jax.lax.dot_general(
+        sel, rows_i8.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    return r.astype(jnp.int8)
+
+
+def _chunk_kernel(x_ref, *refs, spec: ChunkSpec, g: int):
+    im_ref = refs[-1]
+    hs_ref = refs[-2] if spec.has_down else None
+    out_ref = refs[-3] if spec.has_down else refs[-2]
+    wrefs = refs[:-3] if spec.has_down else refs[:-2]
+    if spec.has_down:
+        sel0 = wrefs[-2][...]
+        sel1 = wrefs[-1][...]
+        wrefs = wrefs[:-2]
+
+    ho, wo = spec.hout, spec.wout
+    x = x_ref[...].reshape(g * spec.hin * spec.win, spec.cin)
+    pos = 0
+    cur_h, cur_w = spec.hin, spec.win
+    for meta in spec.metas:
+        blk = [r[...] for r in wrefs[pos:pos + meta.n_args]]
+        pos += meta.n_args
+        w1, m1, b1, w2, m2, b2, w3, m3, b3 = blk[:9]
+        c = meta.cmid
+        h0 = _requant_relu(
+            _i8dot(x, w1).astype(jnp.float32) * m1 + b1)
+        if meta.kind == "down":
+            # phase-split h0 (g*H, W, C) -> hs (g*ho*wo, 4C)
+            h4 = h0.reshape(g * ho, 2, cur_w, c)
+            for p in range(2):
+                rows = h4[:, p]
+                for q, sel in ((0, sel0), (1, sel1)):
+                    hs_ref[:, (p * 2 + q) * c:(p * 2 + q + 1) * c] = (
+                        _col_select_i8(sel, rows).reshape(g * ho * wo, c))
+            # proj input: phase (0, 0) of x
+            x4 = x.reshape(g * ho, 2, cur_w, meta.cin)
+            xds = _col_select_i8(sel0, x4[:, 0]).reshape(
+                g * ho * wo, meta.cin)
+            # 3x3/2 im2col over 4 block shifts of the phase grid
+            hsv = hs_ref[...].reshape(g, ho, wo, 4 * c)
+            hp = jnp.pad(hsv, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            for bi, (m, n) in enumerate(_DOWN_SHIFTS):
+                im_ref[:g * ho * wo, bi * 4 * c:(bi + 1) * 4 * c] = (
+                    hp[:, 1 + m:1 + m + ho, 1 + n:1 + n + wo, :]
+                    .reshape(g * ho * wo, 4 * c))
+            acc1 = _i8dot(im_ref[:g * ho * wo, :16 * c], w2)
+            cur_h, cur_w = ho, wo
+        else:
+            # 3x3/1 SAME im2col (ops/pallas_layer1.py hp-pattern)
+            h3 = h0.reshape(g, cur_h, cur_w, c)
+            hp = jnp.pad(h3, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            rows = g * cur_h * cur_w
+            for k, (dy, dx) in enumerate(
+                    (dy, dx) for dy in range(3) for dx in range(3)):
+                im_ref[:rows, k * c:(k + 1) * c] = (
+                    hp[:, dy:dy + cur_h, dx:dx + cur_w, :]
+                    .reshape(rows, c))
+            acc1 = _i8dot(im_ref[:rows, :9 * c], w2)
+            xds = x
+        h1 = _requant_relu(acc1.astype(jnp.float32) * m2 + b2)
+        y = _i8dot(h1, w3).astype(jnp.float32) * m3 + b3
+        if meta.kind == "id":
+            res = x.astype(jnp.float32) * meta.r
+        else:
+            wp, mp, bp = blk[9:12]
+            res = _i8dot(xds, wp).astype(jnp.float32) * mp + bp
+        x = _requant_relu(y + res)
+    out_ref[...] = x.reshape(g, ho, wo, spec.cout)
+
+
+def run_chunk(x, spec: ChunkSpec, g: int = 1,
+              interpret: Optional[bool] = None):
+    """x (B, hin, win, cin) int8 -> (B, hout, wout, cout) int8."""
+    B = x.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    while B % g:
+        g //= 2
+    g = max(g, 1)
+    sp = spec
+    if g != 1 and sp.has_down:
+        # selectors are sized for the build-time g; rebuild if needed
+        s0, s1 = make_col_selectors(g * sp.hout, sp.win)
+        sp = ChunkSpec(sp.metas, list(sp.args[:-2]) + [s0, s1],
+                       sp.hin, sp.win, sp.cin, sp.hout, sp.wout, sp.cout,
+                       True, sp.im_rows, sp.im_width, sp.hs_rows,
+                       sp.hs_width)
+    scratch = [pltpu.VMEM((g * sp.hout * sp.wout, sp.im_width), jnp.int8)]
+    if sp.has_down:
+        scratch.insert(0, pltpu.VMEM((g * sp.hout * sp.wout,
+                                      sp.hs_width), jnp.int8))
+    kernel = partial(_chunk_kernel, spec=sp, g=g)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // g,),
+        in_specs=[pl.BlockSpec((g, sp.hin, sp.win, sp.cin),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM) for a in sp.args],
+        out_specs=pl.BlockSpec((g, sp.hout, sp.wout, sp.cout),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, sp.hout, sp.wout, sp.cout),
+                                       jnp.int8),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(x, *sp.args)
+
+
+# ---------------------------------------------------------------------------
+# jnp oracle (mirrors the kernel math op-for-op; unit-test pin)
+# ---------------------------------------------------------------------------
+
+
+def chunk_oracle(x, spec: ChunkSpec):
+    """x (B, hin, win, cin) int8 -> int8, same math as _chunk_kernel in
+    plain jnp (f32 matmuls on the int values — exact for int8 ranges)."""
+    B = x.shape[0]
+    ho, wo = spec.hout, spec.wout
+    xf = x.astype(jnp.float32).reshape(B, spec.hin * spec.win, spec.cin)
+    pos = 0
+    args = spec.args[:-2] if spec.has_down else spec.args
+    cur_h, cur_w = spec.hin, spec.win
+
+    def rq(v):
+        return jnp.clip(jnp.round(jnp.maximum(v, 0.0)), 0, QMAX)
+
+    for meta in spec.metas:
+        blk = [a.astype(jnp.float32) for a in args[pos:pos + meta.n_args]]
+        pos += meta.n_args
+        w1, m1, b1, w2, m2, b2, w3, m3, b3 = blk[:9]
+        c = meta.cmid
+        h0 = rq(jnp.einsum("bpc,co->bpo", xf, w1) * m1 + b1)
+        if meta.kind == "down":
+            h4 = h0.reshape(B, ho, 2, cur_w // 2, 2, c)
+            hs = jnp.concatenate(
+                [h4[:, :, p, :, q, :] for p in range(2) for q in range(2)],
+                axis=-1)                                 # (B, ho, wo, 4c)
+            hp = jnp.pad(hs, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            im = jnp.concatenate(
+                [hp[:, 1 + m:1 + m + ho, 1 + n:1 + n + wo, :]
+                 for (m, n) in _DOWN_SHIFTS], axis=-1)
+            acc1 = jnp.einsum("bhwc,co->bhwo", im, w2).reshape(
+                B, ho * wo, -1)
+            x4 = xf.reshape(B, ho, 2, cur_w // 2, 2, meta.cin)
+            xds = x4[:, :, 0, :, 0, :].reshape(B, ho * wo, meta.cin)
+            cur_h, cur_w = ho, wo
+        else:
+            h3 = h0.reshape(B, cur_h, cur_w, c)
+            hp = jnp.pad(h3, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            im = jnp.concatenate(
+                [hp[:, dy:dy + cur_h, dx:dx + cur_w, :]
+                 for dy in range(3) for dx in range(3)], axis=-1)
+            acc1 = jnp.einsum("bhwc,co->bhwo", im, w2).reshape(
+                B, cur_h * cur_w, -1)
+            xds = xf
+        h1 = rq(acc1 * m2 + b2)
+        y = jnp.einsum("bpc,co->bpo", h1, w3) * m3 + b3
+        if meta.kind == "id":
+            res = xf * meta.r
+        else:
+            wp, mp, bp = blk[9:12]
+            res = jnp.einsum("bpc,co->bpo", xds, wp) * mp + bp
+        xf = rq(y + res)
+    return xf.reshape(B, ho, wo, spec.cout).astype(jnp.int8)
