@@ -267,6 +267,32 @@ def bench_r50_int8_engine(ctx):
             "int8_engine_img_per_s_best": round(batch / dt_best, 2)}
 
 
+def bench_r50_pallas_engine(ctx):
+    """ALL-Pallas int8 serving engine (ops/pallas_engine.py): uint8 ->
+    heatmaps with ZERO XLA convs — the round-4 route past the layout
+    wall (BASELINE.md: every partial Pallas island pays ~1 GB/batch of
+    relayout copies at its XLA-conv shore; an unbroken Pallas chain has
+    no shore). Same DARK decode tail as every other r50 path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpupose.ops.decode import decode_heatmaps
+    from tpupose.ops.pallas_engine import PallasServingEngine
+
+    eng = PallasServingEngine.build(ctx["variables"], calib=ctx["imgs"])
+
+    @jax.jit
+    def step(images):
+        hm = eng.forward(images)
+        hm = jnp.transpose(hm, (0, 3, 1, 2))
+        return decode_heatmaps(hm, method="dark")
+
+    dt, dt_best = _steady_s(lambda: step(ctx["dev"]), ctx["probe"])
+    batch = ctx["batch"]
+    return {"pallas_engine_img_per_s": round(batch / dt, 2),
+            "pallas_engine_img_per_s_best": round(batch / dt_best, 2)}
+
+
 # ---------------------------------------------------------------------------
 # beyond-parity serving head: SimCC-R50 256x192 e2e inference — the deconv
 # stack and the 2D DARK decode are replaced by 1D bin classification +
@@ -821,6 +847,8 @@ def main():
         # layout-policy shifts), then beyond-parity extras
         ("r50_int8", lambda: bench_r50_int8(ctx), 120, True),
         ("r50_int8_engine", lambda: bench_r50_int8_engine(ctx), 200, True),
+        ("r50_pallas_engine", lambda: bench_r50_pallas_engine(ctx), 260,
+         True),
     ]
     if not quick:
         stages += [
@@ -866,6 +894,7 @@ def main():
             better(res, "int8_img_per_s", "int8-ptq")
             better(res, "int8_engine_img_per_s", "int8-engine")
             better(res, "int8_pallas_stem_img_per_s", "int8+pallas-stem")
+            better(res, "pallas_engine_img_per_s", "int8-pallas-engine")
         else:
             extra[name] = res
         emit()

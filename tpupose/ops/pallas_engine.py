@@ -65,12 +65,44 @@ class PallasServingEngine:
     chunks: List[ChunkSpec]
     deconvs: List[DeconvSpec]
     num_joints: int
-    group: int = 1
+    chunk_groups: List[int] = None
+    dec_groups: List[int] = None
     stem_group: int = 1
     interpret: Optional[bool] = None
 
+    @staticmethod
+    def _pick_group(rows: int, cap: int = 8, target: int = 1536) -> int:
+        """Images per grid step: small-spatial stages batch images into
+        the matmul M-dim (one 8x6 image is 48 rows — the MXU idles);
+        capped to bound VMEM and the known Mosaic large-M compile wall
+        (BASELINE.md round-4: g>=2 at M=6144 crashed the bf16 layer1)."""
+        g = 1
+        while g * 2 <= cap and rows * g * 2 <= target:
+            g *= 2
+        return g
+
+    @staticmethod
+    def _chunk_group(ch, cap: int = 8, target: int = 1536,
+                     vmem_limit: int = 12 * 2 ** 20) -> int:
+        """Largest g whose explicit VMEM footprint (weights + im/hs
+        scratch + in/out blocks) fits the 16 MB scoped-vmem budget with
+        ~4 MB headroom for Mosaic value temporaries (measured OOM:
+        the g=8 layer3 chunk wanted 19.6 M of the 16 M limit)."""
+        wbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                     for a in ch.args)
+        g = PallasServingEngine._pick_group(ch.hout * ch.wout, cap,
+                                            target)
+        while g > 1:
+            per_g = (ch.hout * ch.wout * (ch.im_width + ch.hs_width
+                                          + ch.cout)
+                     + ch.hin * ch.win * ch.cin)
+            if wbytes + g * per_g <= vmem_limit:
+                break
+            g //= 2
+        return g
+
     @classmethod
-    def build(cls, variables, calib: Sequence = (), group: int = 1,
+    def build(cls, variables, calib: Sequence = (), group: int = 0,
               stem_group: int = 1, max_weight_bytes: int = 6 * 2 ** 20,
               interpret: Optional[bool] = None):
         nodes, weights, stem_pad, in_pad = fold_simple_baseline(variables)
@@ -106,15 +138,20 @@ class PallasServingEngine:
                 for k, v in weights.items()}
 
         chunks: List[ChunkSpec] = []
+        chunk_groups: List[int] = []
         s = conv_scale["stem"]
         for blocks, hin, win, cin, cmid, stride in _R50_STAGES:
             cs, s = build_stage_chunks(
                 np_w, conv_scale, add_scales, blocks, s, hin, win, cin,
-                cmid, stride, g=group, max_weight_bytes=max_weight_bytes)
+                cmid, stride, g=1, max_weight_bytes=max_weight_bytes)
             chunks.extend(cs)
+            chunk_groups.extend(
+                [group or cls._chunk_group(c) for c in cs])
 
         deconvs: List[DeconvSpec] = []
+        dec_groups: List[int] = []
         n_dec = sum(1 for k in np_w if k.startswith("deconv"))
+        hw = 16 * 12 // 4       # deconv0 input spatial (8 * 6)
         for i in range(n_dec):
             k, b = np_w[f"deconv{i}"]
             s_out = conv_scale[f"deconv{i}"]
@@ -122,9 +159,22 @@ class PallasServingEngine:
             if i == n_dec - 1:
                 kf, bf = np_w["final"]
                 final = (kf, bf, s_out)
-            deconvs.append(build_deconv_spec(k, b, s, s_out, g=group,
-                                             final=final))
+            d = build_deconv_spec(k, b, s, s_out, final=final)
+            wbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                         for a in d.args)
+            cin = int(np.asarray(k).shape[2])
+            g = group or cls._pick_group(hw)
+            while g > 1:
+                per_g = hw * 4 * cin + 4 * hw * (
+                    d.cout * (2 if d.final_cout else 1)
+                    + 4 * d.final_cout)
+                if wbytes + g * per_g <= 12 * 2 ** 20:
+                    break
+                g //= 2
+            deconvs.append(d)
+            dec_groups.append(g)
             s = s_out
+            hw *= 4
 
         kf = np.asarray(weights["final"][0])
         num_joints = int(kf.shape[-1])
@@ -132,7 +182,8 @@ class PallasServingEngine:
             variables,
             input_scale=[1.0 / (255.0 * sd) for sd in IMAGENET_STD])
         return cls(stem_w, conv_scale["stem"], chunks, deconvs,
-                   num_joints, group=group, stem_group=stem_group,
+                   num_joints, chunk_groups=chunk_groups,
+                   dec_groups=dec_groups, stem_group=stem_group,
                    interpret=interpret)
 
     def forward(self, images):
@@ -144,12 +195,11 @@ class PallasServingEngine:
                              interpret=self.interpret)
         xi8 = jnp.clip(jnp.round(f.astype(jnp.float32) / self.s_stem),
                        0.0, QMAX).astype(jnp.int8)
-        for ch in self.chunks:
-            xi8 = run_chunk(xi8, ch, g=self.group,
-                            interpret=self.interpret)
+        for ch, g in zip(self.chunks, self.chunk_groups):
+            xi8 = run_chunk(xi8, ch, g=g, interpret=self.interpret)
         y = xi8
-        for d in self.deconvs:
-            y = run_deconv(y, d, g=self.group, interpret=self.interpret)
+        for d, g in zip(self.deconvs, self.dec_groups):
+            y = run_deconv(y, d, g=g, interpret=self.interpret)
         return y[..., :self.num_joints]
 
     def __call__(self, images):

@@ -208,6 +208,8 @@ def run_deconv(x, spec: DeconvSpec, g: int = 1,
         out_shape=jax.ShapeDtypeStruct((B, 2 * h, 2 * w, out_c),
                                        out_dtype),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(x, *args)
 

@@ -383,7 +383,7 @@ def run_chunk(x, spec: ChunkSpec, g: int = 1,
         g //= 2
     g = max(g, 1)
     sp = spec
-    if g != 1 and sp.has_down:
+    if sp.has_down and sp.args[-2].shape[0] != g * sp.hout:
         # selectors are sized for the build-time g; rebuild if needed
         s0, s1 = make_col_selectors(g * sp.hout, sp.win)
         sp = ChunkSpec(sp.metas, list(sp.args[:-2]) + [s0, s1],
@@ -409,6 +409,11 @@ def run_chunk(x, spec: ChunkSpec, g: int = 1,
         out_shape=jax.ShapeDtypeStruct((B, sp.hout, sp.wout, sp.cout),
                                        jnp.int8),
         scratch_shapes=scratch,
+        # the default 16 MB scoped-vmem cap counts the f32 accumulator
+        # temporaries of the wide epilogues; v5e has far more physical
+        # VMEM — raise the cap rather than shrink the image groups
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(x, *sp.args)
 
