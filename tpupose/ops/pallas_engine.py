@@ -109,8 +109,9 @@ class PallasServingEngine:
         if hasattr(calib, "shape"):
             calib = [calib]
         if not len(calib):
-            calib = [np.random.RandomState(0).randint(
-                0, 256, (8, 256, 192, 3)).astype(np.uint8)]
+            # same contract as Int8Engine.build (ADVICE.md r4): silent
+            # random-noise calibration would produce arbitrary scales
+            raise ValueError("need >=1 uint8 calibration batch")
         run = jax.jit(lambda imgs: _forward_calib(
             nodes, weights, stem_pad, in_pad, imgs)[1])
         amax = None
@@ -132,6 +133,14 @@ class PallasServingEngine:
                 else:
                     add_scales[block_no] = s
                     block_no += 1
+        # the walk above mirrors _forward_calib's amax-recording rule;
+        # if that rule ever drifts, every scale here would silently
+        # misassign — assert the iterator is exactly consumed (ADVICE r4)
+        leftover = sum(1 for _ in it)
+        if leftover:
+            raise AssertionError(
+                f"calibration amax list has {leftover} unconsumed entries: "
+                "_forward_calib's recording rule drifted from this walk")
 
         np_w = {k: (np.asarray(v[0], np.float64), np.asarray(v[1],
                                                              np.float64))

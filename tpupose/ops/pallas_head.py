@@ -60,11 +60,11 @@ class DeconvSpec:
     final_cout: int = 0         # lanes of the fused final conv (0 = none)
 
 
-def fold_deconv(kernel, bias, s_in: float, s_out: float, g: int = 1
-                ) -> DeconvSpec:
-    """kernel (4, 4, Cin, O) folded-BN f32, bias (O,) -> packed int8
-    phase weights + requant vectors. s_in/s_out are the calibrated
-    activation scales of the input and output tensors."""
+def fold_deconv(kernel, bias, s_in: float, s_out: float
+                ) -> List[jnp.ndarray]:
+    """kernel (4, 4, Cin, O) folded-BN f32, bias (O,) -> flat arg list:
+    packed int8 phase weights + requant vectors. s_in/s_out are the
+    calibrated activation scales of the input and output tensors."""
     k = np.asarray(kernel, np.float64)
     b = np.asarray(bias, np.float64)
     _, _, cin, o = k.shape
@@ -92,13 +92,13 @@ def _make_interleave_sel(rows: int, w: int, dtype=jnp.bfloat16):
     return jnp.asarray(sel[0], dtype), jnp.asarray(sel[1], dtype)
 
 
-def build_deconv_spec(kernel, bias, s_in, s_out, g: int = 1,
+def build_deconv_spec(kernel, bias, s_in, s_out,
                       final: Optional[tuple] = None) -> DeconvSpec:
     """final = (kernel (1,1,C,K), bias, s_in_final) fuses the heatmap
     conv into this deconv's kernel (f32 output, lanes padded to 32)."""
     k = np.asarray(kernel)
     cin, o = k.shape[2], k.shape[3]
-    args = fold_deconv(kernel, bias, s_in, s_out, g)
+    args = fold_deconv(kernel, bias, s_in, s_out)
     final_cout = 0
     if final is not None:
         kf, bf, sf = final
@@ -123,7 +123,7 @@ def _deconv_kernel(x_ref, *refs, spec: DeconvSpec, g: int):
     h, w, cin, o = spec.h, spec.w, spec.cin, spec.cout
     has_final = spec.final_cout > 0
     im_ref = refs[-1]
-    y_ref = refs[-2] if has_final else refs[-2]
+    y_ref = refs[-2] if has_final else None
     out_ref = refs[-3] if has_final else refs[-2]
     wrefs = refs[:-3] if has_final else refs[:-2]
     sel0 = wrefs[-2][...]
