@@ -8,6 +8,13 @@ decode through (a) bf16, (b) int8 PTQ intercept (ops/quant.py),
 (c) the fused int8 engine (ops/int8_engine.py) and compare PCK@0.2 and
 raw coordinates. Converts the int8 throughput headline from "fast" to
 "fast and provably accuracy-neutral".
+
+Path (d), the ALL-Pallas engine (ops/pallas_engine.py), is gated by the
+same bar via scripts/r5_engine_parity_tpu.py instead (committed output:
+docs/R5_ENGINE_PARITY.log — PCK delta 0.000, coords 0.039 px): the
+engine is hard-wired to the R50-256x192 graph, which this 1-core CPU
+tier cannot train to localization in test-budget time, and the TPU gate
+exercises the REAL Mosaic kernels rather than interpret mode.
 """
 import numpy as np
 import pytest
