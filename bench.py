@@ -25,9 +25,10 @@ picks works). Extras are budget-gated (`BENCH_BUDGET_S`) and mirrored
 incrementally to `BENCH_LOG.json` so a partial run still leaves citable
 evidence on disk.
 
-Round-4 hardening (VERDICT.md tasks 2-3 + ADVICE.md): the budget
-default is 1350 s (the observed driver window is ~1600 s; round 3's
-default 2700 survived only by luck); the five GRADED configs
+Round-4/5 hardening (VERDICT.md tasks 2-3 + ADVICE.md): the budget
+default is 1520 s (the observed driver window is ~1600 s; every stage
+re-emits a COMPLETE line, so a driver kill after the budget costs only
+the in-flight stage); the five GRADED configs
 (BASELINE.json:6-12) are attempted before any beyond-parity extra and
 are skipped only when almost no time remains; the headline `metric`
 name now ENCODES the precision/path whenever the reported `value` is
@@ -783,7 +784,7 @@ def _run_capped(fn, cap_s):
 def main():
     _enable_compile_cache()
     quick = "--quick" in sys.argv
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1350"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1520"))
     extra = {}
     headline = {"img_per_s": 0.0, "img_per_s_best": 0.0, "precision": "bf16",
                 "bf16_img_per_s": 0.0}
@@ -856,6 +857,10 @@ def main():
         ("r50_int8", lambda: bench_r50_int8(ctx), 120, True, None),
         ("r50_int8_engine", lambda: bench_r50_int8_engine(ctx), 200, True,
          None),
+        # p50 latency is cheap and graded (BASELINE.json:2) — capture it
+        # BEFORE the long W48/video stages can starve it (round-5 run 1:
+        # W48 took 665 s of its 800 s cap and video+latency starved)
+        ("r50_latency", lambda: bench_r50_latency(ctx), 230, True, None),
     ]
     if not quick:
         stages += [
@@ -867,7 +872,6 @@ def main():
              video_sink),
         ]
     stages += [
-        ("r50_latency", lambda: bench_r50_latency(ctx), 230, True, None),
         ("r50_pallas_engine", lambda: bench_r50_pallas_engine(ctx), 260,
          False, None),
         ("r50_pallas_stem", lambda: bench_r50_pallas_stem(ctx), 230,
