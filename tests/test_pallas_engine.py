@@ -190,3 +190,18 @@ def test_engine_e2e_matches_flax_model():
     ga = got.reshape(2, -1, 17).argmax(1)
     ra = ref.reshape(2, -1, 17).argmax(1)
     assert (ga == ra).mean() > 0.7
+
+
+@pytest.mark.slow
+def test_engine_build_rejects_empty_calib():
+    """ADVICE r4: empty calib must raise like Int8Engine.build, not fall
+    back to random-noise scale calibration."""
+    from tpupose.ops.pallas_engine import PallasServingEngine
+
+    model = SimpleBaseline(backbone="resnet50", num_keypoints=17,
+                           dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, 192, 3), jnp.float32),
+                           train=False)
+    with pytest.raises(ValueError, match="calibration"):
+        PallasServingEngine.build(variables, calib=(), interpret=True)
