@@ -24,26 +24,7 @@ from tpupose.utils.cache import enable_compile_cache
 enable_compile_cache()
 
 
-def median_time(fn, *args, n1=4, n2=16):
-    """Two-point slope fit (bench.py _steady_s): the axon tunnel adds a
-    ~25-30 ms constant per blocking fetch; chaining n async dispatches
-    and fitting the slope removes it."""
-    def run(n):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(n):
-            r = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(r)[0][0])
-        return time.perf_counter() - t0
-
-    run(2)
-    run(2)
-    slopes = []
-    for _ in range(3):
-        t1 = run(n1)
-        t2 = run(n2)
-        slopes.append(max((t2 - t1) / (n2 - n1), 1e-9))
-    return float(np.median(slopes))
+from tpupose.utils.timing import median_time  # noqa: E402
 
 
 def main():

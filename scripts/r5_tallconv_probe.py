@@ -25,23 +25,7 @@ from tpupose.utils.cache import enable_compile_cache
 enable_compile_cache()
 
 
-def median_time(fn, *args, n1=4, n2=16):
-    def run(n):
-        t0 = time.perf_counter()
-        r = None
-        for _ in range(n):
-            r = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[0])
-        return time.perf_counter() - t0
-
-    run(2)
-    run(2)
-    slopes = []
-    for _ in range(3):
-        t1 = run(n1)
-        t2 = run(n2)
-        slopes.append(max((t2 - t1) / (n2 - n1), 1e-9))
-    return float(np.median(slopes))
+from tpupose.utils.timing import median_time  # noqa: E402
 
 
 def conv(x, w, stride=1):
@@ -64,7 +48,7 @@ def probe(name, B, H, W, Cin, Cout, k=3, dtype=jnp.bfloat16, n=1):
         return y
 
     try:
-        t = median_time(f, x, ws)
+        t = median_time(f, x, ws, n1=8, n2=32)
     except Exception as e:  # noqa: BLE001
         print(f"  {name}: FAIL {' '.join(repr(e).split())[:160]}",
               flush=True)

@@ -105,13 +105,14 @@ class PallasServingEngine:
     def build(cls, variables, calib: Sequence = (), group: int = 0,
               stem_group: int = 1, max_weight_bytes: int = 6 * 2 ** 20,
               interpret: Optional[bool] = None):
-        nodes, weights, stem_pad, in_pad = fold_simple_baseline(variables)
         if hasattr(calib, "shape"):
             calib = [calib]
         if not len(calib):
             # same contract as Int8Engine.build (ADVICE.md r4): silent
-            # random-noise calibration would produce arbitrary scales
+            # random-noise calibration would produce arbitrary scales.
+            # Checked before the (expensive) graph fold.
             raise ValueError("need >=1 uint8 calibration batch")
+        nodes, weights, stem_pad, in_pad = fold_simple_baseline(variables)
         run = jax.jit(lambda imgs: _forward_calib(
             nodes, weights, stem_pad, in_pad, imgs)[1])
         amax = None
@@ -127,7 +128,13 @@ class PallasServingEngine:
         block_no = 0
         for nd in nodes:
             if nd.quant and nd.kind in ("conv", "add"):
-                s = next(it) / QMAX
+                a = next(it, None)
+                if a is None:
+                    raise AssertionError(
+                        "calibration amax list exhausted early: "
+                        "_forward_calib's recording rule drifted from "
+                        "this walk")
+                s = a / QMAX
                 if nd.kind == "conv":
                     conv_scale[nd.spec.name] = s
                 else:
@@ -135,7 +142,8 @@ class PallasServingEngine:
                     block_no += 1
         # the walk above mirrors _forward_calib's amax-recording rule;
         # if that rule ever drifts, every scale here would silently
-        # misassign — assert the iterator is exactly consumed (ADVICE r4)
+        # misassign — assert the iterator is exactly consumed in BOTH
+        # directions (ADVICE r4 + round-5 review)
         leftover = sum(1 for _ in it)
         if leftover:
             raise AssertionError(
