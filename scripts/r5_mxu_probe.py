@@ -378,6 +378,96 @@ def main():
     probe_epi2(128, 3072, 256, 4, "cheap")
     probe_epi2(128, 3072, 256, 4, "int")
 
+    print("P7: full bottleneck body, f32 vs integer requant (layer1 "
+          "shape)", flush=True)
+    probe_block(128, 64, 48, 128, 256, "f32")
+    probe_block(128, 64, 48, 128, 256, "int")
+
+
+
+
+def _block_kernel(x_ref, w1_ref, w2_ref, w3_ref, m1r, b1r, m2r, b2r,
+                  m3r, b3r, o_ref, im_ref, *, H, W, C, CO, mode):
+    """One bottleneck body at layer1 shape: c0 (1x1) -> requant -> c2
+    (3x3 via scratch im2col) -> requant -> c3 (1x1, CO) -> residual add
+    -> requant. Epilogues in f32 (the engine's current scheme) or int32
+    fixed-point (the 6x-faster P6 lever) — timing-only probe that
+    upgrades the verdict's 'integer requant still would not flip it'
+    from arithmetic to measurement."""
+    rows = H * W
+    m1, b1, m2, b2, m3, b3 = (m1r[...], b1r[...], m2r[...], b2r[...],
+                              m3r[...], b3r[...])
+
+    def rq_f32(acc, m, b):
+        return jnp.clip(jnp.round(jnp.maximum(
+            acc.astype(jnp.float32) * m + b, 0.0)), 0.0, 127.0
+            ).astype(jnp.int8)
+
+    def rq_int(acc, m, b):
+        # (acc >> 6) * m16, + b, >> 12, relu, clamp — TFLite-style
+        # fixed-point; numerics representative, not calibrated
+        v = jnp.right_shift(acc, 6) * m.astype(jnp.int32) \
+            + b.astype(jnp.int32)
+        v = jnp.right_shift(v, 12)
+        return jnp.minimum(jnp.maximum(v, 0), 127).astype(jnp.int8)
+
+    rq = rq_f32 if mode == "f32" else rq_int
+    x = x_ref[...].reshape(rows, C)
+    h0 = rq(jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32), m1, b1)
+    h3 = h0.reshape(1, H, W, C)
+    hp = jnp.pad(h3, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    for k, (dy, dx) in enumerate(
+            (dy, dx) for dy in range(3) for dx in range(3)):
+        im_ref[:rows, k * C:(k + 1) * C] = (
+            hp[:, dy:dy + H, dx:dx + W, :].reshape(rows, C))
+    h1 = rq(jax.lax.dot_general(im_ref[...], w2_ref[...],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32), m2, b2)
+    y = jax.lax.dot_general(h1, w3_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    res = y + jnp.pad(x, ((0, 0), (0, CO - C))).astype(jnp.int32) * 17
+    o_ref[...] = rq(res, m3, b3).reshape(1, H, W, CO)
+
+
+def probe_block(G, H, W, C, CO, mode):
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randint(-100, 100, (G, H, W, C)), jnp.int8)
+    w1 = jnp.asarray(rs.randint(-100, 100, (C, C)), jnp.int8)
+    w2 = jnp.asarray(rs.randint(-100, 100, (9 * C, C)), jnp.int8)
+    w3 = jnp.asarray(rs.randint(-100, 100, (C, CO)), jnp.int8)
+    if mode == "f32":
+        ms = [jnp.asarray(rs.uniform(1e-4, 1e-3, (1, n)), jnp.float32)
+              if i % 2 == 0 else
+              jnp.asarray(rs.uniform(-1, 1, (1, n)), jnp.float32)
+              for i, n in enumerate((C, C, C, C, CO, CO))]
+    else:
+        ms = [jnp.asarray(rs.randint(1, 4096, (1, n)), jnp.int16)
+              for n in (C, C, C, C, CO, CO)]
+    f = pl.pallas_call(
+        partial(_block_kernel, H=H, W=W, C=C, CO=CO, mode=mode),
+        grid=(G,),
+        in_specs=[pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+           for a in (w1, w2, w3, *ms)],
+        out_specs=pl.BlockSpec((1, H, W, CO), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, H, W, CO), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((H * W, 9 * C), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )
+    fj = jax.jit(lambda a, *rest: f(a, *rest))
+    try:
+        t = median_time(fj, x, w1, w2, w3, *ms, n1=8, n2=32)
+        print(f"  block[{mode}] ({H}x{W}x{C}->{CO}) x{G}: "
+              f"{t * 1e3:7.3f} ms", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"  block[{mode}]: FAIL {' '.join(repr(e).split())[:300]}",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
